@@ -1,0 +1,162 @@
+"""NN building blocks, NHWC + bf16-friendly (reference src/layers/layers.py).
+
+Design notes (TPU-first):
+  * 1x1 convs on NHWC lower to plain matmuls over the channel dim -> MXU.
+  * The DepthConvBlock FFN "WSiLU chunk-add" is expressed as a reshape-sum
+    over a trailing factor-4 axis, which XLA fuses into the producing matmul
+    epilogue (the role of the CUTLASS quad-GEMM in the reference).
+  * Params are stored f32 (param_dtype) and cast to the compute dtype; the
+    compute dtype is bf16 for inference speed, f32 for exactness tests.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+
+def wsilu(x):
+    """Weighted SiLU: x * sigmoid(4x) (reference WSiLU, layers.py:106-111)."""
+    return x * nn.sigmoid(4.0 * x)
+
+
+class WSiLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return wsilu(x)
+
+
+class Conv1x1(nn.Module):
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+
+
+class Conv3x3(nn.Module):
+    """3x3 conv, optionally strided (SAME padding == torch padding=1)."""
+    features: int
+    stride: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                       padding=((1, 1), (1, 1)), use_bias=self.use_bias,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+
+
+class DepthwiseConv3x3(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
+                       feature_group_count=self.features,
+                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+
+
+class DepthConvBlock(nn.Module):
+    """Depth-conv block (reference DepthConvBlock, layers.py:128-159).
+
+    dc branch:  1x1 -> WSiLU -> dw3x3 -> 1x1, residual.
+    ffn branch: 1x1 (4x inner width) -> WSiLU -> 4-way chunk add -> 1x1,
+                residual.  dcb2 halves the inner width.
+    """
+    in_ch: int
+    out_ch: int
+    dcb2: bool = False
+    shortcut: bool = False
+    force_adaptor: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ratio = 2 if self.dcb2 else 1
+        if self.dcb2:
+            assert not self.shortcut
+        inner = self.out_ch // ratio
+
+        if self.in_ch != self.out_ch or self.force_adaptor:
+            x = Conv1x1(self.out_ch, dtype=self.dtype, name="adaptor")(x)
+
+        h = Conv1x1(inner, dtype=self.dtype, name="dc_in")(x)
+        h = wsilu(h)
+        h = DepthwiseConv3x3(inner, dtype=self.dtype, name="dc_dw")(h)
+        h = Conv1x1(self.out_ch, dtype=self.dtype, name="dc_out")(h)
+        out = h + x
+
+        f = Conv1x1(4 * inner, dtype=self.dtype, name="ffn_in")(out)
+        f = wsilu(f)
+        # chunk-add: channels (c*4 + j) summed over j, equivalent to the
+        # reference's x[:, 0::4] + x[:, 1::4] + x[:, 2::4] + x[:, 3::4]
+        f = f.reshape(*f.shape[:-1], inner, 4).sum(axis=-1)
+        f = Conv1x1(self.out_ch, dtype=self.dtype, name="ffn_out")(f)
+        out = f + out
+
+        if self.shortcut:
+            out = out + x
+        return out
+
+
+class SubpelConv2x(nn.Module):
+    """conv(k) to 4*out channels -> pixel shuffle 2 (reference SubpelConv2x).
+
+    Bias present iff kernel_size > 1 or force_bias, matching the reference.
+    """
+    out_ch: int
+    kernel_size: int = 1
+    force_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        pad = (k - 1) // 2
+        has_bias = (k > 1) or self.force_bias
+        x = nn.Conv(self.out_ch * 4, (k, k), padding=((pad, pad), (pad, pad)),
+                    use_bias=has_bias, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv")(x)
+        from ..core.shuffle import pixel_shuffle
+        return pixel_shuffle(x, 2)
+
+
+class ResidualBlockUpsample(nn.Module):
+    """SubpelConv2x(1x1) + DepthConvBlock (reference ResidualBlockUpsample)."""
+    in_ch: int
+    out_ch: int
+    dcb2: bool = False
+    shortcut: bool = True
+    force_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = SubpelConv2x(self.out_ch, 1, force_bias=self.force_bias,
+                         dtype=self.dtype, name="up")(x)
+        return DepthConvBlock(self.out_ch, self.out_ch, dcb2=self.dcb2,
+                              shortcut=self.shortcut, dtype=self.dtype,
+                              name="conv")(x)
+
+
+class ResidualBlockWithStride2(nn.Module):
+    """pixel_unshuffle(2) -> 1x1 -> DepthConvBlock (reference RBWS2)."""
+    in_ch: int
+    out_ch: int
+    dcb2: bool = False
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..core.shuffle import pixel_unshuffle
+        x = pixel_unshuffle(x, 2)
+        x = Conv1x1(self.out_ch, dtype=self.dtype, name="down")(x)
+        return DepthConvBlock(self.out_ch, self.out_ch, dcb2=self.dcb2,
+                              shortcut=self.shortcut, dtype=self.dtype,
+                              name="conv")(x)
