@@ -64,8 +64,9 @@ class BitEstimator:
         h = jnp.take(params["h"], qp, axis=0)
         b = jnp.take(params["b"], qp, axis=0)
         a = jnp.take(params["a"], qp, axis=0)
-        if h.ndim == 3:  # scalar qp keeps (C, 4)
+        if h.ndim == 2:  # scalar qp keeps (C, 4/3), broadcasts over NHWC
             return h, b, a
+        # per-sample qp: (B, C, k) -> (B, 1, 1, C, k)
         return (h[:, None, None], b[:, None, None], a[:, None, None])
 
     def get_prob(self, params, x, qp):

@@ -85,12 +85,13 @@ def compute_ec_parallel(symbol_count):
 
 class RansEncoder:
     def __init__(self):
+        self._free = _lib.dcvc_rans_encoder_free
         self._h = _lib.dcvc_rans_encoder_new()
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            _lib.dcvc_rans_encoder_free(self._h)
-            self._h = None
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._free(h)
 
     def set_cdf(self, cdfs, cdf_lengths, bank):
         cdfs = np.ascontiguousarray(cdfs, np.int32)
@@ -128,12 +129,13 @@ class RansEncoder:
 
 class RansDecoder:
     def __init__(self):
+        self._free = _lib.dcvc_rans_decoder_free
         self._h = _lib.dcvc_rans_decoder_new()
 
     def __del__(self):
-        if getattr(self, "_h", None):
-            _lib.dcvc_rans_decoder_free(self._h)
-            self._h = None
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._free(h)
 
     def set_cdf(self, cdfs, cdf_lengths, bank):
         cdfs = np.ascontiguousarray(cdfs, np.int32)

@@ -1,9 +1,19 @@
 """Test configuration: run JAX on CPU with 8 virtual devices so sharding
-tests exercise a multi-chip mesh without TPU hardware."""
+tests exercise a multi-chip mesh without TPU hardware.
+
+The ambient environment may install an `axon` TPU-tunnel sitecustomize
+whose register() pins jax_platforms to the tunneled TPU; env vars set here
+would be ignored, so the platform is forced through jax.config (which
+wins over the registration) before any backend is touched.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
