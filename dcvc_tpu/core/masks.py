@@ -11,7 +11,6 @@ broadcasted iota so they can live inside a jitted program as constants
 
 import functools
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -37,7 +36,10 @@ def make_mask_2x(h, w, c):
     mask_0 = np.concatenate([np.repeat(m0[:, :, None], half, 2),
                              np.repeat(m1[:, :, None], half, 2)], axis=2)
     mask_1 = ~mask_0
-    return jnp.asarray(mask_0), jnp.asarray(mask_1)
+    # numpy (not jnp): these are cached; jnp arrays created during a jit
+    # trace would leak tracers out of the cache.  numpy bools become
+    # XLA constants at each use site.
+    return mask_0, mask_1
 
 
 @functools.lru_cache(maxsize=64)
@@ -60,5 +62,5 @@ def make_mask_4x(h, w, c):
     masks = []
     for order in orders:
         groups = [np.repeat(m[g][:, :, None], q, 2) for g in order]
-        masks.append(jnp.asarray(np.concatenate(groups, axis=2)))
+        masks.append(np.concatenate(groups, axis=2))
     return tuple(masks)
