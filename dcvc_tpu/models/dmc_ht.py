@@ -1,0 +1,436 @@
+"""DMC HT video codec (HTL / HTS variants) — DCVC-UF chunk-based coding.
+
+Reference: src/models/video_model_ht.py.  Eight frames are coded jointly:
+the chunk (24 input channels) is 8x pixel-unshuffled to 1536ch, fused with
+a temporal context, and compressed into one y latent (256ch @ /16 of the
+frame).  Temporal memory propagates across chunks through
+FeatureAdaptorI/M + FeatureExtractor; the ReconHead holds 8 frame-specific
+decoders (HTS shares 4 trunk blocks across frame pairs).
+
+Variant difference that shapes the inference runtime (video_model_ht.py:281,
+:468): HTS spatial priors emit means only, so every coding step's scale
+index is known after the fused prior -> ONE entropy pass decodes all y
+symbols; HTL priors emit scales+means -> 4-step interleaved decode ladder.
+
+Stage methods mirror dmci.py: shared executables between encode and decode
+guarantee bit-identical priors.
+"""
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.shuffle import pixel_shuffle, pixel_unshuffle
+from ..layers.blocks import (
+    Conv1x1, Conv3x3, DepthConvBlock, ResidualBlockUpsample,
+    ResidualBlockWithStride2, SubpelConv2x,
+)
+from . import common
+
+
+@dataclasses.dataclass(frozen=True)
+class DMCHTConfig:
+    is_hts: bool = True
+    frame_delay: int = 8
+    ch_src_intra: int = 3 * 8 * 8   # 192: one unshuffled frame
+    ch_y: int = 256
+    ch_z: int = 128
+    ch_d: int = 512
+    ch_m: int = 512
+    ch_recon: int = 256
+    qp_num: int = 64
+    # trunk depths (DCB counts)
+    enc_depth: int = 6
+    dec_depth: int = 7
+    fa_i_depth: int = 4
+    fa_m_depth: int = 6
+    fx_depth: int = 5
+    recon_shared_depth: int = 1     # HTS conv1 blocks per pair
+    recon_depth: int = 3            # per-frame DCBs before the head conv
+
+    @property
+    def ch_src_d(self):
+        return self.ch_src_intra * self.frame_delay
+
+    @property
+    def dcb2(self):
+        return self.is_hts
+
+
+HTS_CONFIG = DMCHTConfig(is_hts=True)
+HTL_CONFIG = DMCHTConfig(is_hts=False, enc_depth=7, dec_depth=11,
+                         fa_i_depth=3, fa_m_depth=10, fx_depth=2,
+                         recon_depth=5)
+TINY_HT_CONFIG = DMCHTConfig(is_hts=True, ch_y=16, ch_z=8, ch_d=32,
+                             ch_m=32, ch_recon=16, qp_num=8,
+                             enc_depth=1, dec_depth=1, fa_i_depth=1,
+                             fa_m_depth=1, fx_depth=1, recon_depth=1)
+TINY_HTL_CONFIG = DMCHTConfig(is_hts=False, ch_y=16, ch_z=8, ch_d=32,
+                              ch_m=32, ch_recon=16, qp_num=8,
+                              enc_depth=1, dec_depth=1, fa_i_depth=1,
+                              fa_m_depth=1, fx_depth=1, recon_depth=1)
+
+
+def _dcb_stack(x, chs, dcb2, dtype, name):
+    """Sequential DepthConvBlocks; chs = [(in, out), ...]."""
+    for i, (ci, co) in enumerate(chs):
+        x = DepthConvBlock(ci, co, dcb2=dcb2, dtype=dtype,
+                           name=f"{name}_{i}")(x)
+    return x
+
+
+class HTEncoder(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, quant_step):
+        c = self.cfg
+        feature = pixel_unshuffle(x, 8)
+        feature = jnp.concatenate([feature, ctx], axis=-1)
+        chs = [(c.ch_src_d + c.ch_d, c.ch_d)] + [(c.ch_d, c.ch_d)] * (c.enc_depth - 1)
+        feature = _dcb_stack(feature, chs, c.dcb2, self.dtype, "conv1")
+        feature = feature * quant_step
+        return Conv3x3(c.ch_y, stride=2, dtype=self.dtype, name="down")(feature)
+
+
+class HTDecoder(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y_hat, ctx, quant_step):
+        c = self.cfg
+        if c.is_hts:
+            feature = SubpelConv2x(c.ch_d, 1, dtype=self.dtype, name="up")(y_hat)
+        else:
+            feature = SubpelConv2x(c.ch_d, 3, force_bias=True,
+                                   dtype=self.dtype, name="up")(y_hat)
+        feature = jnp.concatenate([feature, ctx], axis=-1)
+        chs = [(c.ch_d * 2, c.ch_d)] + [(c.ch_d, c.ch_d)] * (c.dec_depth - 1)
+        feature = _dcb_stack(feature, chs, c.dcb2, self.dtype, "conv1")
+        return feature * quant_step
+
+
+class HTFeatureAdaptorI(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        chs = [(c.ch_src_intra, c.ch_m)] + [(c.ch_m, c.ch_m)] * (c.fa_i_depth - 1)
+        return _dcb_stack(x, chs, c.dcb2, self.dtype, "conv")
+
+
+class HTFeatureAdaptorM(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, feature):
+        c = self.cfg
+        x = jnp.concatenate([memory, feature], axis=-1)
+        chs = [(c.ch_m + c.ch_d, c.ch_m)] + [(c.ch_m, c.ch_m)] * (c.fa_m_depth - 1)
+        return _dcb_stack(x, chs, c.dcb2, self.dtype, "conv")
+
+
+class HTFeatureExtractor(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        chs = [(c.ch_m, c.ch_d)] + [(c.ch_d, c.ch_d)] * (c.fx_depth - 1)
+        return _dcb_stack(x, chs, c.dcb2, self.dtype, "conv")
+
+
+class HTHyperEncoder(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, y):
+        c = self.cfg
+        kw = {"shortcut": False} if c.is_hts else {}
+        x = DepthConvBlock(c.ch_y, c.ch_y, dtype=self.dtype, name="conv_0")(y)
+        x = ResidualBlockWithStride2(c.ch_y, c.ch_y, dtype=self.dtype,
+                                     name="conv_1", **kw)(x)
+        return ResidualBlockWithStride2(c.ch_y, c.ch_z, dtype=self.dtype,
+                                        name="conv_2", **kw)(x)
+
+
+class HTHyperDecoder(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z_hat):
+        c = self.cfg
+        kw = {"shortcut": False} if c.is_hts else {"force_bias": True}
+        x = ResidualBlockUpsample(c.ch_z, c.ch_y, dtype=self.dtype,
+                                  name="conv_0", **kw)(z_hat)
+        x = ResidualBlockUpsample(c.ch_y, c.ch_y, dtype=self.dtype,
+                                  name="conv_1", **kw)(x)
+        return DepthConvBlock(c.ch_y, c.ch_y, dtype=self.dtype, name="conv_2")(x)
+
+
+class HTTemporalPriorEncoder(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, quant):
+        c = self.cfg
+        kw = {"shortcut": False} if c.is_hts else {}
+        return ResidualBlockWithStride2(c.ch_d, c.ch_y * 2, dtype=self.dtype,
+                                        name="conv", **kw)(memory * quant)
+
+
+class HTPriorFusion(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hyper_params, temporal_params):
+        cy = self.cfg.ch_y
+        x = jnp.concatenate([hyper_params, temporal_params], axis=-1)
+        for i in range(3):
+            x = DepthConvBlock(cy * 3, cy * 3, dtype=self.dtype,
+                               name=f"conv_{i}")(x)
+        return Conv1x1(cy * 3, dtype=self.dtype, name="conv_3")(x)
+
+
+class HTSpatialPrior(nn.Module):
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cy = self.cfg.ch_y
+        out_ch = cy if self.cfg.is_hts else cy * 2
+        for i in range(3):
+            x = DepthConvBlock(cy * 2, cy * 2, dtype=self.dtype,
+                               name=f"conv_{i}")(x)
+        return Conv1x1(out_ch, dtype=self.dtype, name="conv_3")(x)
+
+
+class HTReconHead(nn.Module):
+    """8 frame-specific decoders; HTS shares 4 trunks across frame pairs
+    (video_model_ht.py:215-275)."""
+    cfg: DMCHTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        if c.is_hts:
+            self.conv1 = [
+                nn.Sequential([DepthConvBlock(c.ch_d, c.ch_d, dtype=self.dtype)
+                               for _ in range(c.recon_shared_depth)])
+                for _ in range(c.frame_delay // 2)]
+        heads = []
+        for _ in range(c.frame_delay):
+            layers = [DepthConvBlock(c.ch_d, c.ch_recon, dtype=self.dtype)]
+            layers += [DepthConvBlock(c.ch_recon, c.ch_recon, dtype=self.dtype)
+                       for _ in range(c.recon_depth - 1)]
+            layers += [Conv1x1(c.ch_src_intra, dtype=self.dtype)]
+            heads.append(nn.Sequential(layers))
+        self.conv2 = heads
+
+    def __call__(self, x, for_reset=False):
+        c = self.cfg
+        if for_reset:
+            # reset path: last frame's decoder without pixel shuffle -> a
+            # frame-like 192ch feature that re-seeds the DPB
+            out = self.conv1[-1](x) if c.is_hts else x
+            return self.conv2[-1](out)
+        all_out = []
+        common_feat = None
+        for i in range(c.frame_delay):
+            if c.is_hts:
+                if i % 2 == 0:
+                    common_feat = self.conv1[i // 2](x)
+                out = self.conv2[i](common_feat)
+            else:
+                out = self.conv2[i](x)
+            all_out.append(pixel_shuffle(out, 8))
+        return all_out
+
+
+class DMCHT(nn.Module):
+    """Chunk-based video codec (reference DMC, video_model_ht.py:320-527)."""
+    cfg: DMCHTConfig = HTS_CONFIG
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.feature_adaptor_i = HTFeatureAdaptorI(c, dtype=self.dtype)
+        self.feature_adaptor_m = HTFeatureAdaptorM(c, dtype=self.dtype)
+        self.feature_extractor = HTFeatureExtractor(c, dtype=self.dtype)
+        self.encoder = HTEncoder(c, dtype=self.dtype)
+        self.hyper_encoder = HTHyperEncoder(c, dtype=self.dtype)
+        self.hyper_decoder = HTHyperDecoder(c, dtype=self.dtype)
+        self.temporal_prior_encoder = HTTemporalPriorEncoder(c, dtype=self.dtype)
+        self.y_prior_fusion = HTPriorFusion(c, dtype=self.dtype)
+        self.y_spatial_prior_reduction = Conv1x1(c.ch_y, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_1 = DepthConvBlock(
+            c.ch_y * 2, c.ch_y * 2, force_adaptor=True, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_2 = DepthConvBlock(
+            c.ch_y * 2, c.ch_y * 2, force_adaptor=True, dtype=self.dtype)
+        self.y_spatial_prior_adaptor_3 = DepthConvBlock(
+            c.ch_y * 2, c.ch_y * 2, force_adaptor=True, dtype=self.dtype)
+        self.y_spatial_prior = HTSpatialPrior(c, dtype=self.dtype)
+        self.decoder = HTDecoder(c, dtype=self.dtype)
+        self.recon_head = HTReconHead(c, dtype=self.dtype)
+
+        ones = nn.initializers.ones
+        self.q_encoder = self.param("q_encoder", ones, (c.qp_num, c.ch_d))
+        self.q_decoder = self.param("q_decoder", ones, (c.qp_num, c.ch_d))
+        self.q_feature = self.param("q_feature", ones, (c.qp_num, c.ch_d))
+
+        self.bit_estimator_z = common.BitEstimatorModule(c.qp_num, c.ch_z)
+
+    def _q(self, table, qp):
+        q = jnp.take(table, qp, axis=0).astype(self.dtype)
+        if q.ndim == 2:
+            q = q[:, None, None, :]
+        return q
+
+    # ----------------------------------------------------- temporal state
+
+    def adaptor_i(self, ref_feature):
+        """First P-chunk after a refresh: memory from the intra feature."""
+        memory = self.feature_adaptor_i(ref_feature.astype(self.dtype))
+        ctx = self.feature_extractor(memory)
+        return memory, ctx
+
+    def adaptor_m(self, memory, ref_feature):
+        memory = self.feature_adaptor_m(memory.astype(self.dtype),
+                                        ref_feature.astype(self.dtype))
+        ctx = self.feature_extractor(memory)
+        return memory, ctx
+
+    def reset_feature(self, feature):
+        """recon_head(for_reset) -> new DPB seed (video_model_ht.py:406-411)."""
+        return self.recon_head(feature.astype(self.dtype), for_reset=True)
+
+    # ------------------------------------------------------ shared stages
+
+    def _prior_params(self, z_hat, memory, qp):
+        temporal = self.temporal_prior_encoder(memory,
+                                               self._q(self.q_feature, qp))
+        hyper = self.hyper_decoder(z_hat)
+        return self.y_prior_fusion(hyper, temporal)
+
+    def prior0(self, z_int8, memory, qp, yh, yw):
+        """Shared enc/dec: fused prior -> per-position quant + step-0
+        scales/means + reduced spatial context."""
+        z_hat = z_int8.astype(self.dtype)
+        params = self._prior_params(z_hat, memory.astype(self.dtype), qp)
+        params = params[:, :yh, :yw, :]
+        q_enc, q_dec, scales, means = common.separate_prior_video_infer(params)
+        ctx = self.y_spatial_prior_reduction(params)
+        return q_enc, q_dec, scales, means, ctx
+
+    def prior_step(self, ctx, y_hat_so_far, step):
+        adaptors = [self.y_spatial_prior_adaptor_1,
+                    self.y_spatial_prior_adaptor_2,
+                    self.y_spatial_prior_adaptor_3]
+        sp_in = jnp.concatenate([y_hat_so_far.astype(self.dtype), ctx], axis=-1)
+        out = self.y_spatial_prior(adaptors[step - 1](sp_in))
+        if self.cfg.is_hts:
+            return out  # means only
+        scales, means = jnp.split(out, 2, axis=-1)
+        return scales, means
+
+    def analysis(self, x, ctx, qp):
+        """Padded chunk (1, H, W, 3*frame_delay) -> (y, z_int8)."""
+        y = self.encoder(x, ctx, self._q(self.q_encoder, qp))
+        z = self.hyper_encoder(y)
+        z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)), -128, 127).astype(jnp.int8)
+        return y, z_int8
+
+    def synthesis(self, y_hat, ctx, qp, out_h, out_w):
+        """Final y_hat (already *q_dec) -> (frames (F, out_h, out_w, 3),
+        feature)."""
+        feature = self.decoder(y_hat.astype(self.dtype), ctx,
+                               self._q(self.q_decoder, qp))
+        frames = self.recon_head(feature)
+        frames = jnp.concatenate(
+            [jnp.clip(f.astype(jnp.float32), -0.5, 0.5)[:, :out_h, :out_w, :]
+             for f in frames], axis=0)
+        return frames, feature
+
+    # ------------------------------------------------------ training path
+
+    def __call__(self, x, ref_feature, memory, qp, rng):
+        """Training forward for one chunk (video_model_ht.py:452-496).
+
+        x: (B, H, W, 3*frame_delay) chunk; ref_feature: (B, H/8, W/8, 192);
+        memory: (B, H/8, W/8, ch_m) or None.
+        Returns (result dict, new_ref_feature, new_memory).
+        """
+        c = self.cfg
+        if memory is None:
+            memory = self.feature_adaptor_i(ref_feature)
+        else:
+            memory = self.feature_adaptor_m(memory, ref_feature)
+        ctx = self.feature_extractor(memory)
+
+        y = self.encoder(x, ctx, self._q(self.q_encoder, qp))
+        z = self.hyper_encoder(y)
+        z_hat = common.ste_round(z)
+
+        params = self._prior_params(z_hat, memory, qp)
+        yh, yw = y.shape[1], y.shape[2]
+        params = params[:, :yh, :yw, :]
+
+        adaptors = [
+            lambda a, b: self.y_spatial_prior_adaptor_1(
+                jnp.concatenate([a, b], axis=-1)),
+            lambda a, b: self.y_spatial_prior_adaptor_2(
+                jnp.concatenate([a, b], axis=-1)),
+            lambda a, b: self.y_spatial_prior_adaptor_3(
+                jnp.concatenate([a, b], axis=-1)),
+        ]
+        if c.is_hts:
+            y_res, y_q, y_hat, scales_hat = common.forward_prior_4x_train(
+                y, None, None, params, self.y_spatial_prior_reduction,
+                adaptors, self.y_spatial_prior,
+                spatial_prior_has_scales=False)
+        else:
+            sp_adaptors = [self.y_spatial_prior_adaptor_1,
+                           self.y_spatial_prior_adaptor_2,
+                           self.y_spatial_prior_adaptor_3]
+            y_res, y_q, y_hat, scales_hat = common.forward_prior_4x_train(
+                y, None, None, params, self.y_spatial_prior_reduction,
+                sp_adaptors, self.y_spatial_prior,
+                spatial_prior_has_scales=True)
+
+        feature = self.decoder(y_hat, ctx, self._q(self.q_decoder, qp))
+        x_hat_list = self.recon_head(feature)
+
+        rng_y, rng_z = jax.random.split(rng)
+        y_for_bit = common.add_noise(y_res, rng_y)
+        z_for_bit = common.add_noise(z, rng_z)
+        bits_y = jnp.sum(common.get_y_bits(y_for_bit, scales_hat), axis=(1, 2, 3))
+        probs_z = self.bit_estimator_z.get_prob(z_for_bit, qp)
+        bits_z = jnp.sum(common.probs_to_bits(probs_z), axis=(1, 2, 3))
+
+        x_frames = jnp.split(x, c.frame_delay, axis=-1)
+        mse_list = [common.get_mse(xf, xh)
+                    for xf, xh in zip(x_frames, x_hat_list)]
+
+        pixel_num = x.shape[1] * x.shape[2]
+        bpp = (bits_y + bits_z) / pixel_num
+        result = {
+            "bits_y": bits_y,
+            "bits_z": bits_z,
+            "bpp": bpp,
+            "mse": mse_list,
+            "x_hat": x_hat_list,
+        }
+        return result, feature, memory
