@@ -345,10 +345,16 @@ class VideoCodecBase:
         return {"x_hat": x_hat}
 
 
-def _init_both_branches(model, x, ref_intra, ref_feat, memory, rng):
+def _init_both_branches(model, x, ref_intra, ref_feat, memory, rng,
+                        init_scale=1.0):
     """Flax only materializes params for executed branches; the temporal
     models branch on memory None/not-None (adaptor_i vs adaptor_m), so
-    init both and merge the top-level param dicts."""
+    init both and merge the top-level param dicts.
+
+    init_scale < 1 damps conv kernels so the untrained temporal
+    recurrence (feature -> adaptor -> feature) stays bounded — needed
+    only for random-weight smoke testing; trained models are stable.
+    """
     r1, r2, r3, r4 = jax.random.split(rng, 4)
     init_fn_i = jax.jit(lambda a, b: model.init({"params": a}, x, ref_intra,
                                                 None, 0, b))
@@ -359,12 +365,20 @@ def _init_both_branches(model, x, ref_intra, ref_feat, memory, rng):
     for k, v in p_m.items():
         if k not in p_i:
             p_i[k] = v
-    return jax.tree.map(np.asarray, p_i)
+    params = jax.tree.map(np.asarray, p_i)
+    if init_scale != 1.0:
+        def scale_kernels(path, leaf):
+            if path[-1].key == "kernel":
+                return leaf * init_scale
+            return leaf
+        params = jax.tree_util.tree_map_with_path(scale_kernels, params)
+    return params
 
 
 class DMCHTCodec(VideoCodecBase):
     @classmethod
-    def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16, **kwargs):
+    def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16,
+                    init_scale=1.0, **kwargs):
         from ..models.dmc_ht import DMCHT, HTS_CONFIG
         rng = jax.random.PRNGKey(0) if rng is None else rng
         cfg = cfg or HTS_CONFIG
@@ -374,13 +388,15 @@ class DMCHTCodec(VideoCodecBase):
         ref_intra = jnp.zeros((1, 8, 8, cfg.ch_src_intra), dtype)
         ref_feat = jnp.zeros((1, 8, 8, cfg.ch_d), dtype)
         memory = jnp.zeros((1, 8, 8, cfg.ch_m), dtype)
-        params = _init_both_branches(model, x, ref_intra, ref_feat, memory, rng)
+        params = _init_both_branches(model, x, ref_intra, ref_feat, memory,
+                                     rng, init_scale)
         return cls(model, params, **kwargs)
 
 
 class DMCLDCodec(VideoCodecBase):
     @classmethod
-    def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16, **kwargs):
+    def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16,
+                    init_scale=1.0, **kwargs):
         from ..models.dmc_ld import DMCLD, LD_CONFIG
         rng = jax.random.PRNGKey(0) if rng is None else rng
         cfg = cfg or LD_CONFIG
@@ -389,5 +405,6 @@ class DMCLDCodec(VideoCodecBase):
         ref_intra = jnp.zeros((1, 8, 8, cfg.ch_src), dtype)
         ref_feat = jnp.zeros((1, 8, 8, cfg.ch_d), dtype)
         memory = jnp.zeros((1, 8, 8, cfg.ch_m), dtype)
-        params = _init_both_branches(model, x, ref_intra, ref_feat, memory, rng)
+        params = _init_both_branches(model, x, ref_intra, ref_feat, memory,
+                                     rng, init_scale)
         return cls(model, params, **kwargs)

@@ -86,8 +86,10 @@ def build_codecs(args):
             cls = DMCHTCodec
         frame_delay = cfg.frame_delay
         if args.model_path_p == "random":
+            # damp random kernels so the untrained temporal recurrence
+            # stays finite over long sequences (smoke-test only)
             p_codec = cls.init_random(jax.random.PRNGKey(1), cfg=cfg,
-                                      dtype=dtype,
+                                      dtype=dtype, init_scale=0.5,
                                       skip_thres=args.skip_thres)
         else:
             params, _ = load_params(args.model_path_p)
