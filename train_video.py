@@ -1,0 +1,216 @@
+"""Video (DMC) training driver — CLI-compatible with the reference
+train_video.py: 4-stage schedules per variant (frame_num growing to 129,
+cascaded loss with activation checkpointing for long sequences), frozen
+intra model seeding the DPB, AdamW + grad-clip 0.2 + non-finite skip.
+"""
+
+import argparse
+import sys
+import time
+
+
+def get_training_strategy(training_scheduling, frame_delay, model_structure):
+    # [epoch_ref, lr, frame_num, cascaded, patch_w, patch_h]
+    # (reference train_video.py:21-94)
+    if model_structure == "ld":
+        tables = {
+            "stage0": [[0, 1e-4, 2, False, 256, 256]] * 5
+                      + [[5, 1e-4, 3, False, 256, 256]] * 5
+                      + [[10, 1e-4, 6, False, 256, 256]] * 46,
+            "stage1": [[0, 5e-5, 8, True, 256, 256]] * 5
+                      + [[5, 5e-5, 16, True, 256, 256]] * 5
+                      + [[10, 5e-5, 24, True, 256, 256]] * 5
+                      + [[15, 5e-5, 32, True, 256, 256]] * 15
+                      + [[30, 5e-6, 32, True, 256, 256]] * 8,
+            "stage2": [[0, 5e-5, 33, True, 512, 512]] * 14
+                      + [[14, 5e-6, 33, True, 512, 512]] * 4
+                      + [[18, 2e-5, 49, True, 512, 512]] * 7
+                      + [[25, 2e-6, 49, True, 512, 512]] * 2
+                      + [[27, 5e-6, 65, True, 512, 512]] * 7
+                      + [[34, 2e-6, 65, True, 512, 512]] * 7,
+            "stage3": [[0, 2e-6, 97, True, 512, 512]] * 2
+                      + [[2, 5e-7, 129, True, 512, 512]] * 3,
+        }
+    else:
+        fd = frame_delay
+        tables = {
+            "stage0": [[0, 1e-4, 1 + 1 * fd, False, 256, 256]] * 5
+                      + [[5, 1e-4, 1 + 2 * fd, False, 256, 256]] * 5
+                      + [[10, 1e-4, 1 + 4 * fd, False, 256, 256]] * 36,
+            "stage1": [[0, 5e-5, 17, True, 256, 256]] * 2
+                      + [[2, 5e-5, 25, True, 256, 256]] * 1
+                      + [[3, 5e-5, 33, True, 256, 256]] * 3
+                      + [[6, 5e-6, 33, True, 256, 256]] * 5,
+            "stage2": [[0, 5e-5, 33, True, 512, 512]] * 10
+                      + [[10, 5e-5, 49, True, 512, 512]] * 10
+                      + [[20, 1e-5, 65, True, 512, 512]] * 12
+                      + [[32, 2e-6, 65, True, 512, 512]] * 9,
+            "stage3": [[0, 1e-5, 97, True, 512, 512]] * 2
+                      + [[2, 2e-6, 129, True, 512, 512]] * 3,
+        }
+    return tables[training_scheduling]
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("-e", "--epochs", default=100, type=int)
+    parser.add_argument("--lambdas", type=float, nargs="+", required=True)
+    parser.add_argument("--model_path_i", type=str, required=True)
+    parser.add_argument("--model_structure", type=str, default="ld",
+                        choices=["htl", "hts", "ld"])
+    parser.add_argument("-n", "--num_workers", type=int, default=4)
+    parser.add_argument("--save_dir", type=str, required=True)
+    parser.add_argument("--train_dataset", type=str, required=True)
+    parser.add_argument("--pretrain_path", type=str, default=None)
+    parser.add_argument("--training_scheduling", type=str, default="stage0",
+                        choices=["stage0", "stage1", "stage2", "stage3"])
+    parser.add_argument("--tiny_model", action="store_true")
+    parser.add_argument("--max_steps_per_epoch", type=int, default=-1)
+    return parser.parse_args(argv)
+
+
+def main(argv):
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dcvc_tpu.data import VideoFolder, BatchLoader
+    from dcvc_tpu.models.common import get_training_lambdas
+    from dcvc_tpu.models.dmci import DMCI, DMCIConfig, TINY_CONFIG
+    from dcvc_tpu.models.dmc_ht import (
+        DMCHT, HTS_CONFIG, HTL_CONFIG, TINY_HT_CONFIG, TINY_HTL_CONFIG)
+    from dcvc_tpu.models.dmc_ld import DMCLD, LD_CONFIG, TINY_LD_CONFIG
+    from dcvc_tpu.parallel import make_mesh
+    from dcvc_tpu.runtime.video_codec import _init_both_branches
+    from dcvc_tpu.train import create_train_state
+    from dcvc_tpu.train.step import make_optimizer
+    from dcvc_tpu.train.video_step import make_video_train_step
+    from dcvc_tpu.utils.checkpoint import (
+        load_latest_status, load_params, save_params, save_status)
+    import flax.serialization
+
+    # ---- models
+    if args.model_structure == "ld":
+        p_cfg = TINY_LD_CONFIG if args.tiny_model else LD_CONFIG
+        p_model = DMCLD(cfg=p_cfg, dtype=jnp.float32)
+    else:
+        if args.tiny_model:
+            p_cfg = (TINY_HT_CONFIG if args.model_structure == "hts"
+                     else TINY_HTL_CONFIG)
+        else:
+            p_cfg = HTS_CONFIG if args.model_structure == "hts" else HTL_CONFIG
+        p_model = DMCHT(cfg=p_cfg, dtype=jnp.float32)
+    frame_delay = p_cfg.frame_delay
+    gop = frame_delay
+
+    i_cfg = TINY_CONFIG if args.tiny_model else DMCIConfig()
+    i_model = DMCI(cfg=i_cfg, dtype=jnp.float32)
+    if args.model_path_i == "random":
+        x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        i_params = jax.jit(lambda r1, r2: i_model.init(
+            {"params": r1}, x0, jnp.zeros((1,), jnp.int32), r2))(
+            jax.random.PRNGKey(10), jax.random.PRNGKey(11))["params"]
+    else:
+        i_params, _ = load_params(args.model_path_i)
+
+    lambdas = get_training_lambdas(args.lambdas, p_cfg.qp_num)
+    ch_src = getattr(p_cfg, "ch_src_intra", getattr(p_cfg, "ch_src", 192))
+    if args.pretrain_path:
+        p_params, _ = load_params(args.pretrain_path)
+    else:
+        p_params = _init_both_branches(
+            p_model,
+            jnp.zeros((1, 64, 64, 3 * gop), jnp.float32),
+            jnp.zeros((1, 8, 8, ch_src), jnp.float32),
+            jnp.zeros((1, 8, 8, p_cfg.ch_d), jnp.float32),
+            jnp.zeros((1, 8, 8, p_cfg.ch_m), jnp.float32),
+            jax.random.PRNGKey(0))
+
+    # ---- mesh + sharding
+    mesh = make_mesh()
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    n_dev = len(jax.devices())
+    assert args.batch_size % n_dev == 0
+
+    # ---- frozen intra recon (seed) program
+    @jax.jit
+    def intra_recon(x, qp, rng):
+        out = i_model.apply({"params": i_params}, x, qp, rng)
+        return jax.lax.stop_gradient(out["x_hat"])
+
+    strategy = get_training_strategy(args.training_scheduling, frame_delay,
+                                     args.model_structure)
+    _, lr0, frame_num0, _, pw, ph = strategy[0]
+    dataset = VideoFolder(args.train_dataset, ph, pw, p_cfg.qp_num, lambdas,
+                          frame_num=frame_num0, group_of_pictures=gop)
+
+    tx = make_optimizer(lr0, clip_norm=0.2)
+    state = create_train_state(p_params, tx)
+    begin_epoch = 0
+    status = load_latest_status(args.save_dir)
+    if status is not None:
+        state = state.replace(
+            params=flax.serialization.from_state_dict(
+                state.params, status["params"]),
+            opt_state=flax.serialization.from_state_dict(
+                state.opt_state, status["opt_state"]))
+        begin_epoch = int(status["epoch"]) + 1
+        print(f"resumed from epoch {begin_epoch}")
+    state = jax.device_put(state, repl)
+
+    step_rng = jax.random.PRNGKey(42)
+    compiled = {}
+    for epoch in range(begin_epoch, args.epochs):
+        idx = min(len(strategy) - 1, epoch)
+        _, lr, frame_num, cascaded, patch_w, patch_h = strategy[idx]
+        n_chunks = (frame_num - 1) // gop
+        dataset.set_frame_num(1 + n_chunks * gop)
+        dataset.set_patch_size(patch_w, patch_h)
+
+        key = (lr, n_chunks, cascaded, patch_w, patch_h)
+        if key not in compiled:
+            tx = make_optimizer(lr, clip_norm=0.2)
+            step = make_video_train_step(p_model, tx, lambdas, n_chunks,
+                                         cascaded=cascaded,
+                                         use_remat=patch_w > 256 or n_chunks > 4)
+            compiled[key] = jax.jit(
+                step, in_shardings=(repl, data_sh, data_sh, data_sh, repl),
+                out_shardings=(repl, repl))
+        train_step = compiled[key]
+
+        loader = BatchLoader(dataset, args.batch_size, seed=epoch)
+        t0 = time.time()
+        for i, batch in enumerate(loader):
+            if 0 <= args.max_steps_per_epoch <= i:
+                break
+            step_rng, s1, s2 = jax.random.split(step_rng, 3)
+            intra = jnp.asarray(batch["frames"][0])       # (B, H, W, 3)
+            chunks = jnp.stack(batch["frames"][1:], 1)    # (B, n, H, W, 3*gop)
+            qp = jnp.asarray(batch["qp"])
+            seed = intra_recon(intra, qp, s1)
+            seed = jax.device_put(seed, data_sh)
+            chunks = jax.device_put(chunks, data_sh)
+            qp = jax.device_put(qp, data_sh)
+            state, metrics = train_step(state, seed, chunks, qp, s2)
+            if i % 50 == 0:
+                m = jax.device_get(metrics)
+                print(f"Time: {time.time()-t0:.1f}s, epoch {epoch} step {i}: "
+                      f"loss {m['loss']:.4f} mse {m['mse']:.5f} "
+                      f"bpp {m['bpp']:.4f} gnorm {m['grad_norm']:.3f} "
+                      f"lr {lr:.1e}")
+                t0 = time.time()
+        save_status(args.save_dir, jax.device_get(state.params),
+                    state.opt_state, epoch, p_cfg)
+
+    save_params(f"{args.save_dir}/ckpt.bin", jax.device_get(state.params),
+                p_cfg)
+    print(f"saved final checkpoint to {args.save_dir}/ckpt.bin")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
