@@ -1,20 +1,22 @@
 """DMCI inference runtime: the TPU-native counterpart of the reference
 DMCIProxy (src/layers/extensions/inference/dmci_proxy.cpp).
 
-Architecture:
-  * stage programs compiled per padded resolution; QP is a traced argument
-    (one executable serves all 64 QPs, replacing the reference's 64
-    CUDA graphs per resolution).
-  * the prior programs (prior0 / prior_step) are the SAME executables in
-    the encode and decode ladders, guaranteeing bit-identical scales/means
-    on both sides (the reference achieves this by reusing CUDA kernels).
-  * entropy coding runs on host worker threads (rans/) overlapped with
-    device work: encode dispatches the reconstruction program before the
-    rANS flush is awaited, mirroring the enc_0 / enc_1 graph overlap
-    (dmci_proxy.cpp:296-421).
-  * symbols cross the device->host boundary full-size with static shapes
-    (int16 combined / uint8 index / bool cond) and are compacted on host,
-    replacing the reference's device stream-compaction kernels.
+Architecture (tuned for dispatch/transfer cost):
+  * ENCODE is ONE fused program (analysis -> fused prior -> 4 masked
+    quant steps with interleaved spatial priors -> reconstruction), the
+    role of the reference's enc_0/enc_1 CUDA graphs.  Symbols are
+    compacted ON DEVICE (cumsum + scatter, replacing the reference's
+    conditional_index kernels) so only coded symbols cross to the host:
+    the runtime fetches per-step counts, then bucket-sliced symbol
+    buffers, then runs the 8-lane rANS.
+  * DECODE interleaves device programs with host entropy decodes
+    (the 4-step ladder, dmci_proxy.cpp:423-601): each fused step
+    scatters the decoded residuals back, accumulates y_hat, and emits
+    the next step's prior + compacted scale indexes + count.
+  * One executable serves all 64 QPs (QP is a traced bank index).
+  * Encode/decode bit-exactness rests on XLA's shape-keyed conv
+    lowering: the same conv in different programs produces bit-identical
+    results (validated on TPU; guarded by round-trip tests).
 """
 
 import functools
@@ -30,6 +32,34 @@ from ..entropy.gaussian import GaussianConditional, scale_to_index
 from ..models import common as mcommon
 from ..models.dmci import DMCI, DMCIConfig
 from .. import rans
+
+# transfer bucket granularity for sliced symbol fetches (elements)
+BUCKET = 1 << 16
+
+
+def _round_bucket(n, cap):
+    return min(cap, ((max(n, 1) + BUCKET - 1) // BUCKET) * BUCKET)
+
+
+def compact_device(values, cond):
+    """Stable stream compaction: coded values move to the front, count
+    returned.  values, cond: flat (N,)."""
+    n = values.shape[0]
+    pos = jnp.cumsum(cond.astype(jnp.int32)) - 1
+    idx = jnp.where(cond, pos, n)
+    packed = jnp.zeros((n,), values.dtype).at[idx].set(values, mode="drop")
+    count = jnp.where(n > 0, pos[-1] + 1, 0).astype(jnp.int32)
+    return packed, count
+
+
+def expand_device(decoded_padded, cond):
+    """Inverse of compact_device: place decoded[pos] at coded positions,
+    zero elsewhere.  decoded_padded: (C,) with C >= count."""
+    pos = jnp.cumsum(cond.astype(jnp.int32)) - 1
+    cap = decoded_padded.shape[0]
+    gathered = jnp.take(decoded_padded, jnp.clip(pos, 0, cap - 1),
+                        mode="clip")
+    return jnp.where(cond, gathered, 0)
 
 
 class DMCICodec:
@@ -73,7 +103,7 @@ class DMCICodec:
     # ------------------------------------------------------------ programs
 
     def _get_programs(self, h, w):
-        """Compile (or fetch) the stage programs for padded size (h, w)."""
+        """Compile (or fetch) the stage programs for original size (h, w)."""
         key = (h, w)
         if key in self._programs:
             return self._programs[key]
@@ -82,60 +112,75 @@ class DMCICodec:
         ph, pw = h + pad_b, w + pad_r
         yh, yw = ph // 16, pw // 16
         zh, zw = ph // 64, pw // 64
-        masks = make_mask_4x(yh, yw, self.cfg.ch_y)
         ch_y = self.cfg.ch_y
+        n_sym = yh * yw * ch_y
+        masks = make_mask_4x(yh, yw, ch_y)
         variables = {"params": self.params}
         model = self.model
         skip = self.skip_thres
 
-        @jax.jit
-        def analysis(x, qp):
-            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)), mode="edge")
-            return model.apply(variables, x.astype(model.dtype), qp,
-                               method=DMCI.analysis)
+        def _prior_step(ctx, y_hat_so_far, step):
+            return model.apply(variables, ctx, y_hat_so_far, step,
+                               method=DMCI.prior_step)
+
+        def _build_idx(scales, mask):
+            s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
+            idx = scale_to_index(s_hat).astype(jnp.uint8).reshape(-1)
+            cond = (s_hat > skip).reshape(-1)
+            return idx, cond
 
         @jax.jit
-        def prior0(z_int8):
-            return model.apply(variables, z_int8, yh, yw, method=DMCI.prior0)
-
-        def _prior_step(step):
-            @jax.jit
-            def fn(ctx, y_hat_so_far):
-                return model.apply(variables, ctx, y_hat_so_far, step,
-                                   method=DMCI.prior_step)
-            return fn
-
-        def _enc_step(step):
-            mask = masks[step]
-
-            @jax.jit
-            def fn(y_scaled, scales, means, y_hat_so_far):
+        def enc_all(x, qp):
+            """The whole encode ladder in one program."""
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
+                        mode="edge")
+            y_scaled, z_int8 = model.apply(variables, x.astype(model.dtype),
+                                           qp, method=DMCI.analysis)
+            scales, means, ctx = model.apply(variables, z_int8, yh, yw,
+                                             method=DMCI.prior0)
+            y_hat_so_far = jnp.zeros(y_scaled.shape, jnp.float32)
+            packed, counts = [], []
+            for k in range(4):
                 y_q, y_hat, s_hat, cond = mcommon.process_with_mask_infer(
-                    y_scaled, scales, means, mask, skip)
+                    y_scaled, scales, means, masks[k], skip)
                 combined, _, cond_flat = mcommon.build_combined_symbols(
                     y_q, s_hat, cond)
-                return combined, cond_flat, y_hat_so_far + y_hat
-            return fn
+                pk, ck = compact_device(combined, cond_flat)
+                packed.append(pk)
+                counts.append(ck)
+                y_hat_so_far = y_hat_so_far + y_hat
+                if k < 3:
+                    scales, means = _prior_step(ctx, y_hat_so_far, k + 1)
+            x_hat = model.apply(variables, y_hat_so_far, qp, h, w,
+                                method=DMCI.synthesis)
+            return (jnp.stack(packed), jnp.stack(counts), z_int8, x_hat)
 
-        def _dec_idx(step):
+        @jax.jit
+        def dec_prior0(z_int8):
+            """Fused prior + step-0 compacted indexes."""
+            scales, means, ctx = model.apply(variables, z_int8, yh, yw,
+                                             method=DMCI.prior0)
+            idx, cond = _build_idx(scales, masks[0])
+            packed_idx, count = compact_device(idx, cond)
+            return means, ctx, packed_idx, count, cond
+
+        def _dec_step_with_ctx(step):
             mask = masks[step]
+            last = step == 3
 
             @jax.jit
-            def fn(scales):
-                s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
-                idx = scale_to_index(s_hat).astype(jnp.uint8)
-                cond = s_hat > skip
-                return idx.reshape(-1), cond.reshape(-1)
-            return fn
-
-        def _dec_step(step):
-            mask = masks[step]
-
-            @jax.jit
-            def fn(y_q_flat, means, y_hat_so_far):
-                y_q = y_q_flat.reshape(1, yh, yw, ch_y).astype(jnp.float32)
+            def fn(decoded_padded, cond, means, y_hat_so_far, ctx):
+                y_q = expand_device(decoded_padded.astype(jnp.float32), cond)
+                y_q = y_q.reshape(1, yh, yw, ch_y)
                 means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
-                return y_hat_so_far + (y_q + means_hat)
+                y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                if last:
+                    return y_hat_so_far
+                scales, means_next = _prior_step(ctx, y_hat_so_far, step + 1)
+                idx, cond_next = _build_idx(scales, masks[step + 1])
+                packed_idx, count = compact_device(idx, cond_next)
+                return (y_hat_so_far, means_next, packed_idx, count,
+                        cond_next)
             return fn
 
         @jax.jit
@@ -143,15 +188,17 @@ class DMCICodec:
             return model.apply(variables, y_hat_so_far, qp, h, w,
                                method=DMCI.synthesis)
 
+        @functools.lru_cache(maxsize=64)
+        def slice_prog(bucket):
+            return jax.jit(lambda b: jax.lax.slice(b, (0,), (bucket,)))
+
         progs = {
-            "analysis": analysis,
-            "prior0": prior0,
-            "prior_step": [_prior_step(k) for k in (1, 2, 3)],
-            "enc_step": [_enc_step(k) for k in range(4)],
-            "dec_idx": [_dec_idx(k) for k in range(4)],
-            "dec_step": [_dec_step(k) for k in range(4)],
+            "enc_all": enc_all,
+            "dec_prior0": dec_prior0,
+            "dec_step": [_dec_step_with_ctx(k) for k in range(4)],
             "synthesis": synthesis,
-            "dims": (ph, pw, yh, yw, zh, zw),
+            "slice": slice_prog,
+            "dims": (ph, pw, yh, yw, zh, zw, n_sym),
         }
         self._programs[key] = progs
         return progs
@@ -169,44 +216,35 @@ class DMCICodec:
         h = x.shape[1] if h is None else h
         w = x.shape[2] if w is None else w
         p = self._get_programs(h, w)
-        qp_arr = jnp.int32(qp)
+        n_sym = p["dims"][6]
 
-        y_scaled, z_int8 = p["analysis"](x, qp_arr)
-        scales, means, ctx = p["prior0"](z_int8)
+        packed, counts, z_int8, x_hat = p["enc_all"](x, jnp.int32(qp))
+        counts_np = np.asarray(counts)
 
-        y_hat_so_far = jnp.zeros((1,) + y_scaled.shape[1:], jnp.float32)
-        step_out = []
-        for k in range(4):
-            combined, cond, y_hat_so_far = p["enc_step"][k](
-                y_scaled, scales, means, y_hat_so_far)
-            step_out.append((combined, cond))
-            if k < 3:
-                scales, means = p["prior_step"][k](ctx, y_hat_so_far)
-
-        # dispatch reconstruction; overlaps with host entropy coding below
-        x_hat = p["synthesis"](y_hat_so_far, qp_arr)
-
-        # host entropy pipeline (reverse step order, then z)
+        # fetch only coded symbols (bucket-rounded slices)
         coded = []
-        total = 0
-        for k in range(3, -1, -1):
-            combined, cond = step_out[k]
-            c = rans.compact_i16(np.asarray(combined), np.asarray(cond))
-            coded.append(c)
-            total += c.size
+        for k in range(4):
+            c = int(counts_np[k])
+            if c == 0:
+                coded.append(np.empty(0, np.int16))
+                continue
+            bucket = _round_bucket(c, n_sym)
+            buf = np.asarray(p["slice"](bucket)(packed[k]))
+            coded.append(buf[:c])
+
+        total = int(counts_np.sum())
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
-        for c in coded:
-            self.encoder.encode_y(c)
-        z_np = np.asarray(z_int8).reshape(-1)
+        for k in range(3, -1, -1):  # reverse step order (dmci_proxy.cpp:838)
+            self.encoder.encode_y(coded[k])
         ch_z = self.cfg.ch_z
-        self.encoder.encode_z(z_np, int(qp) * ch_z, ch_z)
+        self.encoder.encode_z(np.asarray(z_int8).reshape(-1),
+                              int(qp) * ch_z, ch_z)
         self.encoder.flush()
-        stream = self.encoder.get_encoded_stream()
 
         return {
-            "bit_stream": stream,
+            "bit_stream": self.encoder.get_encoded_stream(),
             "x_hat": x_hat,
             "ec_parallel": ec_parallel,
         }
@@ -217,27 +255,37 @@ class DMCICodec:
         """Returns dict(x_hat) with x_hat (1, h, w, 3) f32 in [-0.5, 0.5]."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         p = self._get_programs(h, w)
-        ph, pw, yh, yw, zh, zw = p["dims"]
+        ph, pw, yh, yw, zh, zw, n_sym = p["dims"]
+        ch_z, ch_y = self.cfg.ch_z, self.cfg.ch_y
         qp_arr = jnp.int32(qp)
 
-        ch_z, ch_y = self.cfg.ch_z, self.cfg.ch_y
         self.decoder.set_parallel(ec_part)
         self.decoder.set_stream(bit_stream)
         z_num = zh * zw * ch_z
         self.decoder.decode_z(z_num, int(qp) * ch_z, ch_z)
         z_int8 = jnp.asarray(self.decoder.get_decoded().reshape(1, zh, zw, ch_z))
 
-        scales, means, ctx = p["prior0"](z_int8)
+        means, ctx, packed_idx, count, cond = p["dec_prior0"](z_int8)
         y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+
         for k in range(4):
-            idx, cond = p["dec_idx"][k](scales)
-            idx_np, cond_np = np.asarray(idx), np.asarray(cond)
-            coded_idx = rans.compact_u8(idx_np, cond_np)
-            self.decoder.decode_y(coded_idx)
-            y_q = rans.scatter_i8(self.decoder.get_decoded(), cond_np)
-            y_hat_so_far = p["dec_step"][k](jnp.asarray(y_q), means, y_hat_so_far)
+            c = int(count)
+            if c > 0:
+                bucket = _round_bucket(c, n_sym)
+                idx_np = np.asarray(p["slice"](bucket)(packed_idx))[:c]
+                self.decoder.decode_y(idx_np)
+                decoded = self.decoder.get_decoded()
+                pad = np.zeros(bucket, np.int8)
+                pad[:c] = decoded
+            else:
+                bucket = BUCKET
+                pad = np.zeros(bucket, np.int8)
+            out = p["dec_step"][k](jnp.asarray(pad), cond, means,
+                                   y_hat_so_far, ctx)
             if k < 3:
-                scales, means = p["prior_step"][k](ctx, y_hat_so_far)
+                y_hat_so_far, means, packed_idx, count, cond = out
+            else:
+                y_hat_so_far = out
 
         x_hat = p["synthesis"](y_hat_so_far, qp_arr)
         return {"x_hat": x_hat}

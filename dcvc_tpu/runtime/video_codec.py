@@ -3,16 +3,18 @@ reference DMCHTSProxy / DMCHTLProxy / DMCLDProxy
 (src/layers/extensions/inference/dmc_hts_proxy.cpp etc.).
 
 Persistent DPB state (ref_feature / memory) lives as device arrays on the
-codec object; each frame/chunk runs a chain of per-resolution compiled
-programs.  As in image_codec.py, the prior programs are shared executables
-between encode and decode, which makes their scales/means bit-identical.
-
-Entropy strategy by variant (SURVEY.md 2.2.B):
-  * HTS / LD (means-only spatial priors): every coding step's scale index
-    is derivable right after the fused prior, so all y symbols are coded
-    in ONE entropy pass (single shard) -> single host round-trip.
-  * HTL (scales+means priors): 4-step interleaved ladder like the image
-    codec.
+codec object.  Dispatch/transfer-optimized like image_codec.py:
+  * ENCODE is one fused program per resolution (temporal adaptor ->
+    analysis -> fused prior -> masked quant steps -> reconstruction +
+    next DPB state), with on-device symbol compaction; the host fetches
+    counts then bucket-sliced coded symbols.
+  * DECODE for means-only variants (HTS / LD) needs ONE entropy pass:
+    a first program derives every step's compacted scale indexes from the
+    fused prior; after the host rANS decode, a second program runs the
+    whole means ladder + reconstruction (2 device programs per chunk).
+  * HTL (scales+means priors) runs the 4-step interleaved ladder.
+  * reset_feature_memory folds the recon-head reset into the state
+    update (reference reset graph variants).
 """
 
 import jax
@@ -26,6 +28,7 @@ from ..entropy.bit_estimator import BitEstimator
 from ..entropy.gaussian import GaussianConditional, scale_to_index
 from ..models import common as mcommon
 from .. import rans
+from .image_codec import BUCKET, _round_bucket, compact_device, expand_device
 
 
 class VideoCodecBase:
@@ -86,7 +89,9 @@ class VideoCodecBase:
         yh, yw = ph // 16, pw // 16
         zh, zw = ph // 64, pw // 64
         ch_y = cfg.ch_y
-        if self.steps == 4:
+        n_sym = yh * yw * ch_y
+        steps = self.steps
+        if steps == 4:
             masks = make_mask_4x(yh, yw, ch_y)
         else:
             masks = make_mask_2x(yh, yw, ch_y)
@@ -94,136 +99,197 @@ class VideoCodecBase:
         variables = {"params": self.params}
         skip = self.skip_thres
         mdtype = model.dtype
+        single_pass = self.single_pass
 
         def _pad(x):
             return jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
                            mode="edge")
 
+        def _apply(method, *args):
+            return model.apply(variables, *args, method=method)
+
+        def _adaptor(memory, ref):
+            if memory is None:
+                return _apply(type(model).adaptor_i, ref)
+            return _apply(type(model).adaptor_m, memory, ref)
+
+        def _prior_step(spctx, y_hat_so_far, step):
+            if steps == 4:
+                out = _apply(type(model).prior_step, spctx, y_hat_so_far,
+                             step)
+            else:
+                out = _apply(type(model).prior_step, spctx, y_hat_so_far)
+            return out
+
+        def _step_prior(k, spctx, y_hat_so_far, scales):
+            out = _prior_step(spctx, y_hat_so_far, k + 1)
+            if isinstance(out, tuple):
+                return out          # HTL: new scales + means
+            return scales, out      # means-only variants keep scales
+
+        def _build_idx(scales, mask):
+            s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
+            idx = scale_to_index(s_hat).astype(jnp.uint8).reshape(-1)
+            cond = (s_hat > skip).reshape(-1)
+            return idx, cond
+
+        def _state_update(feature, reset):
+            """(new_ref_feature, keep_memory) under the reset flag."""
+            if reset:
+                return _apply(type(model).reset_feature, feature)
+            return feature
+
         @jax.jit
         def seed_ref(frame):
             return pixel_unshuffle(_pad(frame).astype(mdtype), 8)
 
-        @jax.jit
-        def adaptor_i(ref):
-            return model.apply(variables, ref, method=type(model).adaptor_i)
-
-        @jax.jit
-        def adaptor_m(memory, ref):
-            return model.apply(variables, memory, ref,
-                               method=type(model).adaptor_m)
-
-        @jax.jit
-        def analysis(x, ctx, qp):
-            return model.apply(variables, _pad(x).astype(mdtype), ctx, qp,
-                               method=type(model).analysis)
-
-        @jax.jit
-        def prior0(z_int8, memory, qp):
-            return model.apply(variables, z_int8, memory, qp, yh, yw,
-                               method=type(model).prior0)
-
-        def _prior_step(step):
+        def _enc_all(has_memory, reset):
             @jax.jit
-            def fn(spctx, y_hat_so_far):
-                if self.steps == 4:
-                    return model.apply(variables, spctx, y_hat_so_far, step,
-                                       method=type(model).prior_step)
-                return model.apply(variables, spctx, y_hat_so_far,
-                                   method=type(model).prior_step)
+            def fn(x, memory, ref, qp):
+                mem, ctx = _adaptor(memory if has_memory else None, ref)
+                y, z_int8 = _apply(type(model).analysis,
+                                   _pad(x).astype(mdtype), ctx, qp)
+                q_enc, q_dec, scales, means, spctx = _apply(
+                    type(model).prior0, z_int8, mem, qp, yh, yw)
+                y_scaled = y.astype(jnp.float32) * q_enc.astype(jnp.float32)
+
+                y_hat_so_far = jnp.zeros(y_scaled.shape, jnp.float32)
+                combined_list, cond_list, counts = [], [], []
+                for k in range(steps):
+                    y_q, y_hat, s_hat, cond = mcommon.process_with_mask_infer(
+                        y_scaled, scales, means, masks[k], skip)
+                    combined, _, cond_flat = mcommon.build_combined_symbols(
+                        y_q, s_hat, cond)
+                    combined_list.append(combined)
+                    cond_list.append(cond_flat)
+                    counts.append(jnp.sum(cond_flat).astype(jnp.int32))
+                    y_hat_so_far = y_hat_so_far + y_hat
+                    if k < steps - 1:
+                        scales, means = _step_prior(k, spctx, y_hat_so_far,
+                                                    scales)
+                y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
+                x_hat, feature = _apply(type(model).synthesis, y_hat, ctx,
+                                        qp, h, w)
+                new_ref = _state_update(feature, reset)
+                if single_pass:
+                    # one globally-compacted buffer in step order 0..n:
+                    # one encode_y call <-> one decode_y call
+                    sym, _ = compact_device(jnp.concatenate(combined_list),
+                                            jnp.concatenate(cond_list))
+                else:
+                    sym = jnp.stack([compact_device(c, f)[0]
+                                     for c, f in zip(combined_list,
+                                                     cond_list)])
+                return sym, jnp.stack(counts), z_int8, x_hat, new_ref, mem
             return fn
 
-        @jax.jit
-        def scale_y(y, q_enc):
-            return (y.astype(jnp.float32) * q_enc.astype(jnp.float32))
-
-        def _enc_step(step):
-            mask = masks[step]
-
+        def _dec_prior(has_memory):
+            """Fused adaptor + prior; single-pass variants also emit every
+            step's compacted indexes (one entropy pass)."""
             @jax.jit
-            def fn(y_scaled, scales, means, y_hat_so_far):
-                y_q, y_hat, s_hat, cond = mcommon.process_with_mask_infer(
-                    y_scaled, scales, means, mask, skip)
-                combined, _, cond_flat = mcommon.build_combined_symbols(
-                    y_q, s_hat, cond)
-                return combined, cond_flat, y_hat_so_far + y_hat
+            def fn(z_int8, memory, ref, qp):
+                mem, ctx = _adaptor(memory if has_memory else None, ref)
+                q_enc, q_dec, scales, means, spctx = _apply(
+                    type(model).prior0, z_int8, mem, qp, yh, yw)
+                if single_pass:
+                    idxs, conds = [], []
+                    for k in range(steps):
+                        idx, cond = _build_idx(scales, masks[k])
+                        idxs.append(idx)
+                        conds.append(cond)
+                    cond_all = jnp.concatenate(conds)
+                    packed_idx, count = compact_device(
+                        jnp.concatenate(idxs), cond_all)
+                    return (q_dec, means, spctx, ctx, mem, packed_idx,
+                            count, cond_all)
+                idx, cond = _build_idx(scales, masks[0])
+                packed_idx, count = compact_device(idx, cond)
+                return (q_dec, scales, means, spctx, ctx, mem, packed_idx,
+                        count, cond)
             return fn
 
-        def _dec_idx(step):
-            mask = masks[step]
-
+        def _dec_ladder_single(reset):
+            """Means-only variants: whole ladder + synthesis in one
+            program after the single entropy pass."""
             @jax.jit
-            def fn(scales):
-                s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
-                idx = scale_to_index(s_hat).astype(jnp.uint8)
-                cond = s_hat > skip
-                return idx.reshape(-1), cond.reshape(-1)
+            def fn(decoded_padded, cond_all, means, spctx, ctx, q_dec, qp):
+                y_q_all = expand_device(
+                    decoded_padded.astype(jnp.float32), cond_all)
+                y_q_steps = jnp.split(y_q_all, steps)
+                y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+                scales = None
+                for k in range(steps):
+                    y_q = y_q_steps[k].reshape(1, yh, yw, ch_y)
+                    means_hat = jnp.where(masks[k], means, 0).astype(jnp.float32)
+                    y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                    if k < steps - 1:
+                        _, means = _step_prior(k, spctx, y_hat_so_far, scales)
+                y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
+                x_hat, feature = _apply(type(model).synthesis, y_hat, ctx,
+                                        qp, h, w)
+                return x_hat, _state_update(feature, reset)
             return fn
 
-        def _dec_step(step):
+        def _dec_step_ladder(step):
+            """HTL interleaved rung: scatter + accumulate + next prior +
+            next compacted indexes."""
             mask = masks[step]
+            last = step == steps - 1
 
             @jax.jit
-            def fn(y_q_flat, means, y_hat_so_far):
-                y_q = y_q_flat.reshape(1, yh, yw, ch_y).astype(jnp.float32)
+            def fn(decoded_padded, cond, means, y_hat_so_far, spctx):
+                y_q = expand_device(decoded_padded.astype(jnp.float32), cond)
+                y_q = y_q.reshape(1, yh, yw, ch_y)
                 means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
-                return y_hat_so_far + (y_q + means_hat)
+                y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                if last:
+                    return y_hat_so_far
+                scales, means_next = _prior_step(spctx, y_hat_so_far,
+                                                 step + 1)
+                idx, cond_next = _build_idx(scales, masks[step + 1])
+                packed_idx, count = compact_device(idx, cond_next)
+                return (y_hat_so_far, means_next, packed_idx, count,
+                        cond_next)
             return fn
 
-        @jax.jit
-        def finalize(y_hat_so_far, q_dec):
-            return y_hat_so_far * q_dec.astype(jnp.float32)
+        def _dec_final(reset):
+            @jax.jit
+            def fn(y_hat_so_far, q_dec, ctx, qp):
+                y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
+                x_hat, feature = _apply(type(model).synthesis, y_hat, ctx,
+                                        qp, h, w)
+                return x_hat, _state_update(feature, reset)
+            return fn
 
-        @jax.jit
-        def synthesis(y_hat, ctx, qp):
-            return model.apply(variables, y_hat, ctx, qp, h, w,
-                               method=type(model).synthesis)
+        import functools
 
-        @jax.jit
-        def reset_feature(feature):
-            return model.apply(variables, feature,
-                               method=type(model).reset_feature)
+        @functools.lru_cache(maxsize=64)
+        def slice_prog(bucket):
+            return jax.jit(lambda b: jax.lax.slice(b, (0,), (bucket,)))
 
         progs = {
             "seed_ref": seed_ref,
-            "adaptor_i": adaptor_i,
-            "adaptor_m": adaptor_m,
-            "analysis": analysis,
-            "prior0": prior0,
-            "prior_step": [_prior_step(k) for k in range(1, self.steps)],
-            "scale_y": scale_y,
-            "enc_step": [_enc_step(k) for k in range(self.steps)],
-            "dec_idx": [_dec_idx(k) for k in range(self.steps)],
-            "dec_step": [_dec_step(k) for k in range(self.steps)],
-            "finalize": finalize,
-            "synthesis": synthesis,
-            "reset_feature": reset_feature,
-            "dims": (ph, pw, yh, yw, zh, zw),
+            "enc_all": {(m, r): _enc_all(m, r)
+                        for m in (False, True) for r in (False, True)},
+            "dec_prior": {m: _dec_prior(m) for m in (False, True)},
+            "dec_single": {r: _dec_ladder_single(r) for r in (False, True)},
+            "dec_step": [_dec_step_ladder(k) for k in range(steps)],
+            "dec_final": {r: _dec_final(r) for r in (False, True)},
+            "slice": slice_prog,
+            "dims": (ph, pw, yh, yw, zh, zw, n_sym),
         }
         self._programs[key] = progs
         return progs
 
     # ----------------------------------------------------------- helpers
 
-    def _apply_adaptor(self, p):
-        if self.memory is None:
-            memory, ctx = p["adaptor_i"](self.ref_feature)
-        else:
-            memory, ctx = p["adaptor_m"](self.memory, self.ref_feature)
-        return memory, ctx
-
-    def _step_prior(self, p, k, spctx, y_hat_so_far, scales):
-        """Returns (scales, means) for step k+1."""
-        out = p["prior_step"][k](spctx, y_hat_so_far)
-        if isinstance(out, tuple):
-            return out  # HTL: new scales + means
-        return scales, out  # means-only variants keep scales
-
-    def _update_state(self, p, feature, reset_flag):
-        if reset_flag:
-            self.ref_feature = p["reset_feature"](feature)
-            self.memory = None
-        else:
-            self.ref_feature = feature
+    def _fetch_coded(self, p, packed, count, dtype=np.int16):
+        c = int(count)
+        n_sym = p["dims"][6]
+        if c == 0:
+            return np.empty(0, dtype)
+        bucket = _round_bucket(c, packed.shape[0])
+        return np.asarray(p["slice"](bucket)(packed))[:c]
 
     # ------------------------------------------------------------ encode
 
@@ -237,41 +303,28 @@ class VideoCodecBase:
         h = x.shape[1] if h is None else h
         w = x.shape[2] if w is None else w
         p = self._get_programs(h, w)
-        qp_arr = jnp.int32(qp)
+        reset = bool(reset_feature_memory)
 
-        memory, ctx = self._apply_adaptor(p)
-        y, z_int8 = p["analysis"](x, ctx, qp_arr)
-        q_enc, q_dec, scales, means, spctx = p["prior0"](z_int8, memory, qp_arr)
-        y_scaled = p["scale_y"](y, q_enc)
+        has_memory = self.memory is not None
+        memory_arg = self.memory if has_memory else self.ref_feature  # dummy
+        sym, counts, z_int8, x_hat, new_ref, mem = \
+            p["enc_all"][(has_memory, reset)](x, memory_arg,
+                                              self.ref_feature, jnp.int32(qp))
+        self.ref_feature = new_ref
+        self.memory = None if reset else mem
 
-        y_hat_so_far = jnp.zeros(y_scaled.shape, jnp.float32)
-        step_out = []
-        for k in range(self.steps):
-            combined, cond, y_hat_so_far = p["enc_step"][k](
-                y_scaled, scales, means, y_hat_so_far)
-            step_out.append((combined, cond))
-            if k < self.steps - 1:
-                scales, means = self._step_prior(p, k, spctx, y_hat_so_far,
-                                                 scales)
-
-        y_hat = p["finalize"](y_hat_so_far, q_dec)
-        x_hat, feature = p["synthesis"](y_hat, ctx, qp_arr)
-        if not reset_feature_memory:
-            self.memory = memory
-        self._update_state(p, feature, reset_feature_memory)
-
-        # host entropy pipeline (overlaps with synthesis dispatch above)
-        coded = [rans.compact_i16(np.asarray(c), np.asarray(cd))
-                 for c, cd in step_out]
-        total = sum(c.size for c in coded)
+        counts_np = np.asarray(counts)
+        total = int(counts_np.sum())
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
         if self.single_pass:
-            self.encoder.encode_y(np.concatenate(coded))
+            coded = self._fetch_coded(p, sym, total)
+            self.encoder.encode_y(coded)
         else:
-            for c in reversed(coded):
-                self.encoder.encode_y(c)
+            for k in range(self.steps - 1, -1, -1):
+                coded = self._fetch_coded(p, sym[k], counts_np[k])
+                self.encoder.encode_y(coded)
         ch_z = self.cfg.ch_z
         self.encoder.encode_z(np.asarray(z_int8).reshape(-1),
                               int(qp) * ch_z, ch_z)
@@ -290,11 +343,10 @@ class VideoCodecBase:
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         p = self._get_programs(h, w)
-        ph, pw, yh, yw, zh, zw = p["dims"]
+        ph, pw, yh, yw, zh, zw, n_sym = p["dims"]
         ch_z, ch_y = self.cfg.ch_z, self.cfg.ch_y
         qp_arr = jnp.int32(qp)
-
-        memory, ctx = self._apply_adaptor(p)
+        reset = bool(reset_feature_memory)
 
         self.decoder.set_parallel(ec_part)
         self.decoder.set_stream(bit_stream)
@@ -302,46 +354,52 @@ class VideoCodecBase:
         self.decoder.decode_z(z_num, int(qp) * ch_z, ch_z)
         z_int8 = jnp.asarray(self.decoder.get_decoded().reshape(1, zh, zw, ch_z))
 
-        q_enc, q_dec, scales, means, spctx = p["prior0"](z_int8, memory, qp_arr)
-        y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+        has_memory = self.memory is not None
+        memory_arg = self.memory if has_memory else self.ref_feature  # dummy
 
         if self.single_pass:
-            # all scale indexes known now: one entropy pass for all steps
-            idx_cond = [p["dec_idx"][k](scales) for k in range(self.steps)]
-            idx_np = [np.asarray(i) for i, _ in idx_cond]
-            cond_np = [np.asarray(c) for _, c in idx_cond]
-            coded_idx = np.concatenate(
-                [rans.compact_u8(i, c) for i, c in zip(idx_np, cond_np)])
-            self.decoder.decode_y(coded_idx)
-            decoded = self.decoder.get_decoded()
-            # split decoded symbols back into per-step full-size planes
-            counts = [rans.count_cond(c) for c in cond_np]
-            offsets = np.cumsum([0] + counts)
-            for k in range(self.steps):
-                y_q = rans.scatter_i8(decoded[offsets[k]:offsets[k + 1]],
-                                      cond_np[k])
-                y_hat_so_far = p["dec_step"][k](jnp.asarray(y_q), means,
-                                                y_hat_so_far)
-                if k < self.steps - 1:
-                    scales, means = self._step_prior(p, k, spctx,
-                                                     y_hat_so_far, scales)
+            (q_dec, means, spctx, ctx, mem, packed_idx, count, cond_all) = \
+                p["dec_prior"][has_memory](z_int8, memory_arg,
+                                           self.ref_feature, qp_arr)
+            c = int(count)
+            if c > 0:
+                idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
+                self.decoder.decode_y(idx_np)
+                decoded = self.decoder.get_decoded()
+                bucket = _round_bucket(c, self.steps * n_sym)
+                pad = np.zeros(bucket, np.int8)
+                pad[:c] = decoded
+            else:
+                pad = np.zeros(BUCKET, np.int8)
+            x_hat, new_ref = p["dec_single"][reset](
+                jnp.asarray(pad), cond_all, means, spctx, ctx, q_dec, qp_arr)
         else:
+            (q_dec, scales, means, spctx, ctx, mem, packed_idx, count,
+             cond) = p["dec_prior"][has_memory](z_int8, memory_arg,
+                                                self.ref_feature, qp_arr)
+            y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
             for k in range(self.steps):
-                idx, cond = p["dec_idx"][k](scales)
-                idx_np, cond_np = np.asarray(idx), np.asarray(cond)
-                self.decoder.decode_y(rans.compact_u8(idx_np, cond_np))
-                y_q = rans.scatter_i8(self.decoder.get_decoded(), cond_np)
-                y_hat_so_far = p["dec_step"][k](jnp.asarray(y_q), means,
-                                                y_hat_so_far)
+                c = int(count)
+                if c > 0:
+                    idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
+                    self.decoder.decode_y(idx_np)
+                    decoded = self.decoder.get_decoded()
+                    bucket = _round_bucket(c, n_sym)
+                    pad = np.zeros(bucket, np.int8)
+                    pad[:c] = decoded
+                else:
+                    pad = np.zeros(BUCKET, np.int8)
+                out = p["dec_step"][k](jnp.asarray(pad), cond, means,
+                                       y_hat_so_far, spctx)
                 if k < self.steps - 1:
-                    scales, means = self._step_prior(p, k, spctx,
-                                                     y_hat_so_far, scales)
+                    y_hat_so_far, means, packed_idx, count, cond = out
+                else:
+                    y_hat_so_far = out
+            x_hat, new_ref = p["dec_final"][reset](y_hat_so_far, q_dec,
+                                                   ctx, qp_arr)
 
-        y_hat = p["finalize"](y_hat_so_far, q_dec)
-        x_hat, feature = p["synthesis"](y_hat, ctx, qp_arr)
-        if not reset_feature_memory:
-            self.memory = memory
-        self._update_state(p, feature, reset_feature_memory)
+        self.ref_feature = new_ref
+        self.memory = None if reset else mem
         return {"x_hat": x_hat}
 
 
