@@ -219,18 +219,20 @@ class DMCICodec:
         n_sym = p["dims"][6]
 
         packed, counts, z_int8, x_hat = p["enc_all"](x, jnp.int32(qp))
-        counts_np = np.asarray(counts)
+        counts_np, z_np = jax.device_get((counts, z_int8))
 
-        # fetch only coded symbols (bucket-rounded slices)
-        coded = []
+        # fetch only coded symbols (bucket-rounded slices, overlapped)
+        bufs = []
         for k in range(4):
             c = int(counts_np[k])
-            if c == 0:
-                coded.append(np.empty(0, np.int16))
-                continue
-            bucket = _round_bucket(c, n_sym)
-            buf = np.asarray(p["slice"](bucket)(packed[k]))
-            coded.append(buf[:c])
+            bufs.append(None if c == 0
+                        else p["slice"](_round_bucket(c, n_sym))(packed[k]))
+        for b in bufs:
+            if b is not None:
+                b.copy_to_host_async()
+        coded = [np.empty(0, np.int16) if b is None
+                 else np.asarray(b)[:int(counts_np[k])]
+                 for k, b in enumerate(bufs)]
 
         total = int(counts_np.sum())
         ec_parallel = rans.compute_ec_parallel(total)
@@ -239,8 +241,7 @@ class DMCICodec:
         for k in range(3, -1, -1):  # reverse step order (dmci_proxy.cpp:838)
             self.encoder.encode_y(coded[k])
         ch_z = self.cfg.ch_z
-        self.encoder.encode_z(np.asarray(z_int8).reshape(-1),
-                              int(qp) * ch_z, ch_z)
+        self.encoder.encode_z(z_np.reshape(-1), int(qp) * ch_z, ch_z)
         self.encoder.flush()
 
         return {

@@ -313,7 +313,7 @@ class VideoCodecBase:
         self.ref_feature = new_ref
         self.memory = None if reset else mem
 
-        counts_np = np.asarray(counts)
+        counts_np, z_np = jax.device_get((counts, z_int8))
         total = int(counts_np.sum())
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
@@ -326,8 +326,7 @@ class VideoCodecBase:
                 coded = self._fetch_coded(p, sym[k], counts_np[k])
                 self.encoder.encode_y(coded)
         ch_z = self.cfg.ch_z
-        self.encoder.encode_z(np.asarray(z_int8).reshape(-1),
-                              int(qp) * ch_z, ch_z)
+        self.encoder.encode_z(z_np.reshape(-1), int(qp) * ch_z, ch_z)
         self.encoder.flush()
 
         return {
