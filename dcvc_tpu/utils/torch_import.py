@@ -2,8 +2,8 @@
 
 Lets users of the reference (microsoft/DCVC) bring their trained weights:
 conv kernels transpose (O, I, kh, kw) -> (kh, kw, I, O) (depthwise
-(C, 1, k, k) -> (k, k, 1, C)); module names translate per the mapping
-below (reference module tree: src/models/image_model.py,
+(C, 1, k, k) -> (k, k, 1, C)); module names translate per model-specific
+maps (reference module trees: src/models/image_model.py,
 video_model_ht.py, video_model_ld.py).
 """
 
@@ -11,74 +11,102 @@ import re
 
 import numpy as np
 
+_DCB_MAP = {"dc_in": "dc.0", "dc_dw": "dc.2", "dc_out": "dc.3",
+            "ffn_in": "ffn.0", "ffn_out": "ffn.2", "adaptor": "adaptor"}
 
-def _torch_key_dmci(path):
-    """flax param path (tuple of str, leaf last) -> reference key."""
+
+def _translate(path, top_map):
+    """flax param path (tuple of str, leaf last) -> reference key string."""
     segs = list(path)
     leaf = segs.pop()
-
     out = []
     i = 0
     while i < len(segs):
         s = segs[i]
         nxt = segs[i + 1] if i + 1 < len(segs) else None
 
-        # block-internal renames (DepthConvBlock / SubpelConv2x / RBWS2)
-        if s in ("dc_in", "dc_dw", "dc_out", "ffn_in", "ffn_out", "adaptor") \
-                and nxt == "conv":
-            out.append({"dc_in": "dc.0", "dc_dw": "dc.2", "dc_out": "dc.3",
-                        "ffn_in": "ffn.0", "ffn_out": "ffn.2",
-                        "adaptor": "adaptor"}[s])
+        if s in _DCB_MAP and nxt == "conv":      # DepthConvBlock internals
+            out.append(_DCB_MAP[s])
             i += 2
             continue
-        if s == "up" and nxt == "conv":        # SubpelConv2x
+        if s == "up" and nxt == "conv":          # SubpelConv2x
             out.append("up.conv.0")
             i += 2
             continue
-        if s == "down" and nxt == "conv":      # ResidualBlockWithStride2
+        if s == "down" and nxt == "conv":        # RBWS2 / strided conv
             out.append("down")
             i += 2
             continue
+        if s == "conv" and i == len(segs) - 1:   # bare ConvNxN wrapper scope
+            i += 1
+            continue
 
-        # DMCI top-level renames
-        if s == "enc_2_down" and nxt == "conv":
-            out.append("enc_2.6")
-            i += 2
-            continue
-        m = re.fullmatch(r"enc_2_(\d+)", s)
-        if m:
-            out.append(f"enc_2.{m.group(1)}")
-            i += 1
-            continue
-        if s == "dec_1_up":
-            out.append("dec_1.0")
-            i += 1
-            continue
-        m = re.fullmatch(r"dec_1_(\d+)", s)
-        if m:
-            out.append(f"dec_1.{int(m.group(1)) + 1}")
-            i += 1
-            continue
-        m = re.fullmatch(r"conv_(\d+)", s)
-        if m:
-            # Sequential member; a plain Conv1x1 member carries a trailing
-            # 'conv' scope to drop
-            if nxt == "conv" and i + 2 == len(segs):
-                out.append(f"conv.{m.group(1)}")
-                i += 2
-            else:
-                out.append(f"conv.{m.group(1)}")
-                i += 1
-            continue
-        if s == "y_spatial_prior_reduction" and nxt == "conv":
-            out.append(s)
-            i += 2
-            continue
-        out.append(s)
+        mapped = top_map(out, s)
+        out.append(s if mapped is None else mapped)
         i += 1
 
     leaf = {"kernel": "weight"}.get(leaf, leaf)
     return ".".join(out + [leaf])
+
+
+def _map_dmci(out, s):
+    if s == "enc_2_down":
+        return "enc_2.6"
+    m = re.fullmatch(r"enc_2_(\d+)", s)
+    if m:
+        return f"enc_2.{m.group(1)}"
+    if s == "dec_1_up":
+        return "dec_1.0"
+    m = re.fullmatch(r"dec_1_(\d+)", s)
+    if m:
+        return f"dec_1.{int(m.group(1)) + 1}"
+    m = re.fullmatch(r"conv_(\d+)", s)
+    if m:
+        return f"conv.{m.group(1)}"
+    return None
+
+
+def _map_dmc_ht(out, s):
+    m = re.fullmatch(r"(conv1|conv2|conv)_(\d+)", s)
+    if m:
+        return f"{m.group(1)}.{m.group(2)}"
+    m = re.fullmatch(r"layers_(\d+)", s)
+    if m:  # recon_head nested Sequentials
+        return m.group(1)
+    return None
+
+
+_LD_SEQ_TOPS = {"feature_adaptor_i", "feature_adaptor_m", "feature_extractor",
+                "hyper_encoder", "hyper_decoder", "y_prior_fusion"}
+
+
+def _map_dmc_ld(out, s):
+    if s == "temporal_prior_encoder":
+        # reference wraps the RBWS2 in a module attribute named conv
+        return "temporal_prior_encoder.conv"
+    m = re.fullmatch(r"layers_(\d+)", s)
+    if m and out and out[-1] in _LD_SEQ_TOPS:
+        return f"conv.{m.group(1)}"
+    m = re.fullmatch(r"(conv1|conv)_(\d+)", s)
+    if m:
+        return f"{m.group(1)}.{m.group(2)}"
+    return None
+
+
+def key_fn_dmci(path):
+    return _translate(path, _map_dmci)
+
+
+def key_fn_dmc_ht(path):
+    return _translate(path, _map_dmc_ht)
+
+
+def key_fn_dmc_ld(path):
+    return _translate(path, _map_dmc_ld)
+
+
+# backwards-compat alias
+_torch_key_dmci = key_fn_dmci
 
 
 def _convert_leaf(torch_arr, flax_shape):
@@ -90,12 +118,11 @@ def _convert_leaf(torch_arr, flax_shape):
     return arr.astype(np.float32)
 
 
-def import_state_dict(state_dict, flax_params, key_fn=_torch_key_dmci):
+def import_state_dict(state_dict, flax_params, key_fn=key_fn_dmci):
     """Fill a flax param pytree from a torch state_dict (tensor or numpy
     values).  Returns (new_params, unused_torch_keys)."""
     import jax
 
-    flat = {}
     used = set()
 
     def visit(path, leaf):
@@ -110,8 +137,8 @@ def import_state_dict(state_dict, flax_params, key_fn=_torch_key_dmci):
 
     new_params = jax.tree_util.tree_map_with_path(visit, flax_params)
     unused = [k for k in state_dict
-              if k not in used and not k.endswith("_cdf")
-              and "quantized_cdf" not in k and "cdf_length" not in k]
+              if k not in used and "quantized_cdf" not in k
+              and "cdf_length" not in k]
     return new_params, unused
 
 

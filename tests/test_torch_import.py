@@ -97,3 +97,116 @@ def test_dmci_forward_parity(ref_dmci):
     assert np.abs(got - want).mean() / denom < 0.01, \
         f"x_hat relative mean error too large: " \
         f"{np.abs(got - want).mean() / denom}"
+
+
+def _chunked_frames(h, w, n, seed=0):
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+    base = gaussian_filter(rng.uniform(0, 1, (h, w, 3)), 4.0)
+    frames = [np.clip(np.roll(base, i, 1)
+                      + rng.normal(0, 0.01, (h, w, 3)), 0, 1) - 0.5
+              for i in range(n)]
+    return np.concatenate([f[None].astype(np.float32) for f in frames],
+                          axis=-1)
+
+
+def test_dmc_hts_forward_parity():
+    import torch
+    import torch.nn.functional as F
+    sys.path.insert(0, REF)
+    from src.models.video_model_ht import DMC as RefDMC
+    from src.utils.common import ModelStructure
+    from dcvc_tpu.models.dmc_ht import DMCHT, HTS_CONFIG
+    from dcvc_tpu.runtime.video_codec import _init_both_branches
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_dmc_ht
+
+    torch.manual_seed(1)
+    ref = RefDMC(model_structure=ModelStructure.HTS).train()
+
+    cfg = HTS_CONFIG
+    model = DMCHT(cfg=cfg, dtype=jnp.float32)
+    x0 = jnp.zeros((1, 64, 64, 24), jnp.float32)
+    params = _init_both_branches(
+        model, x0, jnp.zeros((1, 8, 8, 192), jnp.float32),
+        jnp.zeros((1, 8, 8, cfg.ch_d), jnp.float32),
+        jnp.zeros((1, 8, 8, cfg.ch_m), jnp.float32), jax.random.PRNGKey(0))
+
+    state_dict = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, unused = import_state_dict(state_dict, params,
+                                       key_fn=key_fn_dmc_ht)
+    assert unused == [], f"unmapped reference keys: {unused[:8]}"
+
+    x = _chunked_frames(64, 64, 8, seed=3)
+    frame0 = x[..., :3]
+    qp = 5
+
+    # ours: one chunk training forward with the intra-seeded ref feature
+    from dcvc_tpu.core.shuffle import pixel_unshuffle
+    ref_feat = pixel_unshuffle(jnp.asarray(frame0), 8)
+    out, feat, mem = jax.jit(lambda p, xx, rf: model.apply(
+        {"params": p}, xx, rf, None, qp, jax.random.PRNGKey(2)))(
+        params, jnp.asarray(x), ref_feat)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        f0t = torch.from_numpy(np.transpose(frame0, (0, 3, 1, 2)))
+        ref.add_ref_feature_from_frame(f0t)
+        res = ref.forward_one_frame(xt, torch.tensor([qp]))
+
+    # statistical comparison through the quantized path
+    for i in range(8):
+        got = np.asarray(out["x_hat"][i])
+        want = np.transpose(res["x_hat"][i].numpy(), (0, 2, 3, 1))
+        denom = max(np.abs(want).mean(), 1e-3)
+        assert np.abs(got - want).mean() / denom < 0.02, f"frame {i}"
+    # rate estimates agree closely in relative terms
+    bits_ref = float(res["bits_z"][0])
+    bits_ours = float(out["bits_z"][0])
+    assert abs(bits_ours - bits_ref) / max(bits_ref, 1) < 0.05
+
+
+def test_dmc_ld_forward_parity():
+    import torch
+    sys.path.insert(0, REF)
+    from src.models.video_model_ld import DMC as RefDMC
+    from dcvc_tpu.models.dmc_ld import DMCLD, LD_CONFIG
+    from dcvc_tpu.runtime.video_codec import _init_both_branches
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_dmc_ld
+
+    torch.manual_seed(2)
+    ref = RefDMC().train()
+
+    cfg = LD_CONFIG
+    model = DMCLD(cfg=cfg, dtype=jnp.float32)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = _init_both_branches(
+        model, x0, jnp.zeros((1, 8, 8, 192), jnp.float32),
+        jnp.zeros((1, 8, 8, cfg.ch_d), jnp.float32),
+        jnp.zeros((1, 8, 8, cfg.ch_m), jnp.float32), jax.random.PRNGKey(0))
+
+    state_dict = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, unused = import_state_dict(state_dict, params,
+                                       key_fn=key_fn_dmc_ld)
+    assert unused == [], f"unmapped reference keys: {unused[:8]}"
+
+    x = _chunked_frames(64, 64, 1, seed=4)
+    qp = 3
+
+    from dcvc_tpu.core.shuffle import pixel_unshuffle
+    ref_feat = pixel_unshuffle(jnp.asarray(x), 8)
+    out, feat, mem = jax.jit(lambda p, xx, rf: model.apply(
+        {"params": p}, xx, rf, None, qp, jax.random.PRNGKey(2)))(
+        params, jnp.asarray(x), ref_feat)
+
+    with torch.no_grad():
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ref.add_ref_feature_from_frame(xt)
+        res = ref.forward_one_frame(xt, torch.tensor([qp]))
+
+    got = np.asarray(out["x_hat"])
+    want = np.transpose(res["x_hat"].numpy(), (0, 2, 3, 1))
+    denom = max(np.abs(want).mean(), 1e-3)
+    assert np.abs(got - want).mean() / denom < 0.02
+    bits_ref = float(res["bits_z"][0])
+    bits_ours = float(out["bits_z"][0])
+    assert abs(bits_ours - bits_ref) / max(bits_ref, 1) < 0.05
