@@ -1,10 +1,13 @@
-"""Benchmark: DMCI image codec 1080p encode+decode FPS on one chip.
+"""Benchmark: flagship DMC-HTS video codec, 1080p per-frame enc+dec FPS.
 
 Protocol mirrors the reference speed benchmark (test_compress_time.py:
-fixed resolution, skip_thres 0.15, warm-up discarded, steady-state
-average).  Baseline: DCVC-UF-Intra 1080p on A100 = 81.5 FPS encode /
-95.0 FPS decode (reference README "Image Compression Performance") ->
-combined enc+dec cycle baseline 1/(1/81.5 + 1/95.0) = 43.87 FPS.
+HEVC_B 1080p, skip_thres 0.15, warm-up discarded, FPS = frame_delay /
+avg_chunk_time).  The chunk codec codes 8 frames per step; the bitstream
+round-trip must be bit-exact or the result is zeroed.
+
+Baseline: the closest machine-readable reference speed figure is
+DCVC-RT 1080p on A100 = 125.2 FPS encode / 112.8 FPS decode
+(DCVC-family/DCVC-RT/README.md) -> combined cycle 59.34 FPS.
 
 Prints ONE JSON line {metric, value, unit, vs_baseline}.
 """
@@ -19,62 +22,76 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from dcvc_tpu.runtime import DMCICodec
+    from dcvc_tpu.runtime.video_codec import DMCHTCodec
 
     h, w = 1080, 1920
     qp = 32
     warmup, iters = 2, 5
+    frame_delay = 8
 
-    codec = DMCICodec.init_random(jax.random.PRNGKey(0),
-                                  dtype=jnp.bfloat16, skip_thres=0.15)
+    codec = DMCHTCodec.init_random(jax.random.PRNGKey(0),
+                                   dtype=jnp.bfloat16, skip_thres=0.15,
+                                   init_scale=0.5)
 
     rng = np.random.default_rng(0)
-    x = rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
-    # smooth content: realistic spatial correlation for entropy coding
-    k = np.ones((8, 8), np.float32) / 64.0
     from scipy.signal import convolve2d
+    k = np.ones((8, 8), np.float32) / 64.0
+    base = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
     for c in range(3):
-        x[0, :, :, c] = convolve2d(x[0, :, :, c], k, mode="same", boundary="symm")
-    x = np.clip(x, 0, 1) - 0.5
+        base[:, :, c] = convolve2d(base[:, :, c], k, mode="same",
+                                   boundary="symm")
+    frames = [np.clip(np.roll(base, i, 1)
+                      + rng.normal(0, 0.005, (h, w, 3)).astype(np.float32),
+                      0, 1) - 0.5
+              for i in range(frame_delay)]
+    chunk = np.concatenate([f[None] for f in frames], axis=-1)
+    intra = chunk[..., :3]
 
-    # device-side bit-exactness check (avoids 48MB host fetches per iter)
     eq_check = jax.jit(lambda a, b: jnp.all(a == b))
+    chunk_j = jnp.asarray(chunk)
 
     enc_times, dec_times = [], []
-    xj = jnp.asarray(x)
     for i in range(warmup + iters):
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
         t0 = time.perf_counter()
-        res = codec.compress(xj, qp)
+        res = codec.compress(chunk_j, qp)
         jax.block_until_ready(res["x_hat"])
         t1 = time.perf_counter()
-        out = codec.decompress(res["bit_stream"], qp, h, w, res["ec_parallel"])
-        jax.block_until_ready(out["x_hat"])
+
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
         t2 = time.perf_counter()
+        out = codec.decompress(res["bit_stream"], qp, h, w,
+                               res["ec_parallel"])
+        jax.block_until_ready(out["x_hat"])
+        t3 = time.perf_counter()
+
         if i >= warmup:
             enc_times.append(t1 - t0)
-            dec_times.append(t2 - t1)
-        print(f"# iter {i}: enc {(t1-t0)*1000:.0f} ms dec {(t2-t1)*1000:.0f} ms",
+            dec_times.append(t3 - t2)
+        print(f"# iter {i}: chunk enc {(t1-t0)*1000:.0f} ms "
+              f"dec {(t3-t2)*1000:.0f} ms stream {len(res['bit_stream'])} B",
               file=sys.stderr, flush=True)
-        ok = bool(eq_check(res["x_hat"], out["x_hat"]))
-        if not ok:
-            print(json.dumps({"metric": "dmci_1080p_encdec_fps", "value": 0.0,
-                              "unit": "fps", "vs_baseline": 0.0,
+        if not bool(eq_check(res["x_hat"], out["x_hat"])):
+            print(json.dumps({"metric": "dmc_hts_1080p_encdec_fps",
+                              "value": 0.0, "unit": "fps",
+                              "vs_baseline": 0.0,
                               "error": "round-trip mismatch"}))
             return 1
 
-    t_enc = float(np.mean(enc_times))
-    t_dec = float(np.mean(dec_times))
+    t_enc = float(np.mean(enc_times)) / frame_delay   # per frame
+    t_dec = float(np.mean(dec_times)) / frame_delay
     fps = 1.0 / (t_enc + t_dec)
-    baseline = 1.0 / (1.0 / 81.5 + 1.0 / 95.0)  # A100 enc+dec cycle
+    baseline = 1.0 / (1.0 / 125.2 + 1.0 / 112.8)  # DCVC-RT A100 cycle
     print(json.dumps({
-        "metric": "dmci_1080p_encdec_fps",
+        "metric": "dmc_hts_1080p_encdec_fps",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline, 4),
     }))
-    print(f"# enc {t_enc*1000:.1f} ms ({1/t_enc:.1f} fps), "
-          f"dec {t_dec*1000:.1f} ms ({1/t_dec:.1f} fps), "
-          f"stream {len(res['bit_stream'])} B, ec {res['ec_parallel']}",
+    print(f"# per-frame enc {t_enc*1000:.1f} ms ({1/t_enc:.1f} fps), "
+          f"dec {t_dec*1000:.1f} ms ({1/t_dec:.1f} fps)",
           file=sys.stderr)
     return 0
 
