@@ -21,6 +21,10 @@ import numpy as np
 
 def main():
     import jax
+    # persistent compilation cache: the large fused codec programs compile
+    # once per machine instead of once per process
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dcvc_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     from dcvc_tpu.runtime.video_codec import DMCHTCodec
 
