@@ -25,6 +25,34 @@ class WSiLU(nn.Module):
         return wsilu(x)
 
 
+class _PointwiseConv(nn.Module):
+    """1x1 conv expressed as a channel contraction (lax.dot_general).
+
+    ~2x faster than XLA's conv lowering for these shapes on TPU (the MXU
+    sees a plain matmul).  Param layout matches nn.Conv ((1, 1, I, O)
+    kernel + (O,) bias) so checkpoints are interchangeable.
+    """
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, in_ch, self.features), jnp.float32)
+        w = kernel.reshape(in_ch, self.features).astype(self.dtype)
+        x = x.astype(self.dtype)
+        y = lax.dot_general(
+            x, w, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv1x1(nn.Module):
     features: int
     use_bias: bool = True
@@ -32,8 +60,8 @@ class Conv1x1(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.features, (1, 1), use_bias=self.use_bias,
-                       dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        return _PointwiseConv(self.features, use_bias=self.use_bias,
+                              dtype=self.dtype, name="conv")(x)
 
 
 class Conv3x3(nn.Module):
@@ -119,9 +147,14 @@ class SubpelConv2x(nn.Module):
         k = self.kernel_size
         pad = (k - 1) // 2
         has_bias = (k > 1) or self.force_bias
-        x = nn.Conv(self.out_ch * 4, (k, k), padding=((pad, pad), (pad, pad)),
-                    use_bias=has_bias, dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv")(x)
+        if k == 1:
+            x = _PointwiseConv(self.out_ch * 4, use_bias=has_bias,
+                               dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.out_ch * 4, (k, k),
+                        padding=((pad, pad), (pad, pad)),
+                        use_bias=has_bias, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="conv")(x)
         from ..core.shuffle import pixel_shuffle
         return pixel_shuffle(x, 2)
 
