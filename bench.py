@@ -101,4 +101,10 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard exit: the axon/rANS worker threads are non-daemon and can
+    # keep the process alive after results are printed
+    import os
+    os._exit(rc)
