@@ -205,3 +205,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+    import sys
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard exit: tunnel/rANS worker threads can hold the process after
+    # results are written
+    import os
+    os._exit(0)
