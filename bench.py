@@ -49,10 +49,14 @@ def main():
                       0, 1) - 0.5
               for i in range(frame_delay)]
     chunk = np.concatenate([f[None] for f in frames], axis=-1)
-    intra = chunk[..., :3]
 
     eq_check = jax.jit(lambda a, b: jnp.all(a == b))
     chunk_j = jnp.asarray(chunk)
+    # the DPB seed is the intra codec's reconstruction, which is
+    # device-resident in the real pipeline (and the reference protocol
+    # brackets exclude source upload, test_video.py:194-219)
+    intra = jax.device_put(chunk_j[..., :3])
+    jax.block_until_ready(intra)
 
     enc_times, dec_times = [], []
     for i in range(warmup + iters):
