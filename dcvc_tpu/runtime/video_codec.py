@@ -40,10 +40,14 @@ class VideoCodecBase:
         self.params = params
         self.skip_thres = float(skip_thres)
 
-        # HT configs carry is_hts; LD does not (2-step checkerboard)
-        self.steps = 4 if hasattr(self.cfg, "is_hts") else 2
+        # HT configs carry is_hts; LD does not (2-step checkerboard);
+        # configs may also pin prior_steps / single_pass explicitly
+        # (e.g. DCVC-RT: 2 steps with scales+means -> ladder decode)
+        default_steps = 4 if hasattr(self.cfg, "is_hts") else 2
+        self.steps = getattr(self.cfg, "prior_steps", default_steps)
         is_hts = getattr(self.cfg, "is_hts", True)
-        self.single_pass = (self.steps == 2) or is_hts
+        self.single_pass = getattr(self.cfg, "single_pass",
+                                   (self.steps == 2) or is_hts)
         self.frame_delay = self.cfg.frame_delay
 
         be = BitEstimator(self.cfg.qp_num, self.cfg.ch_z)
