@@ -75,6 +75,21 @@ def process_with_mask_infer(y, scales, means, mask, skip_thres):
     return y_q, y_hat, scales_hat, cond
 
 
+def quantize_with_cond(y_scaled, means, mask, cond_flat):
+    """Encoder-side quantization taking `cond` from the SHARED prior
+    program (not recomputed from scales) so the coded/skip decision is
+    identical to the decoder's by construction.  Returns int8 y_q
+    (round residual, zero where not coded, clamp to int8 range —
+    stream.cu:549-686 semantics)."""
+    means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
+    y_res = jnp.where(mask, y_scaled.astype(jnp.float32) - means_hat, 0)
+    y_q = jnp.round(y_res)
+    cond = cond_flat.reshape(y_q.shape)
+    y_q = jnp.where(cond, y_q, 0.0)
+    y_q = jnp.clip(y_q, -128.0, 127.0)
+    return y_q.astype(jnp.int8)
+
+
 def build_combined_symbols(y_q, scales_hat, cond):
     """int16 combined symbol (y_q << 8 | scale_index) + bool cond, flattened
     NHWC (= the reference's channel-last flat order, stream.cu:89-175)."""

@@ -15,17 +15,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices=None, axes=("data",)):
-    """1-D (or n-D) device mesh over the first n_devices devices."""
+def make_mesh(n_devices=None, axes=("data",), shape=None):
+    """1-D (or n-D) device mesh over the first n_devices devices.
+
+    For multi-axis meshes pass ``shape`` explicitly (e.g. ``(2, 4)`` for
+    ``axes=("data", "spatial")``); it must multiply out to ``n_devices``.
+    Without ``shape``, all devices go on the first axis and trailing axes
+    get extent 1.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"mesh needs {n_devices} devices, platform has {len(devices)}")
     devices = np.asarray(devices[:n_devices])
-    if len(axes) == 1:
-        shape = (n_devices,)
-    else:
-        # fill trailing axes with 1 unless divisible
+    if shape is None:
         shape = (n_devices,) + (1,) * (len(axes) - 1)
+    if len(shape) != len(axes):
+        raise ValueError(f"shape {shape} does not match axes {axes}")
+    if int(np.prod(shape)) != n_devices:
+        raise ValueError(f"shape {shape} does not cover {n_devices} devices")
     return Mesh(devices.reshape(shape), axes)
 
 

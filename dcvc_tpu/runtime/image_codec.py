@@ -1,22 +1,27 @@
 """DMCI inference runtime: the TPU-native counterpart of the reference
 DMCIProxy (src/layers/extensions/inference/dmci_proxy.cpp).
 
-Architecture (tuned for dispatch/transfer cost):
-  * ENCODE is ONE fused program (analysis -> fused prior -> 4 masked
-    quant steps with interleaved spatial priors -> reconstruction), the
-    role of the reference's enc_0/enc_1 CUDA graphs.  Symbols are
-    compacted ON DEVICE (cumsum + scatter, replacing the reference's
-    conditional_index kernels) so only coded symbols cross to the host:
-    the runtime fetches per-step counts, then bucket-sliced symbol
-    buffers, then runs the 8-lane rANS.
-  * DECODE interleaves device programs with host entropy decodes
-    (the 4-step ladder, dmci_proxy.cpp:423-601): each fused step
-    scatters the decoded residuals back, accumulates y_hat, and emits
-    the next step's prior + compacted scale indexes + count.
-  * One executable serves all 64 QPs (QP is a traced bank index).
-  * Encode/decode bit-exactness rests on XLA's shape-keyed conv
-    lowering: the same conv in different programs produces bit-identical
-    results (validated on TPU; guarded by round-trip tests).
+Bit-exactness architecture (the enc/dec contract):
+  Encoder and decoder MUST produce bit-identical priors/means/recon or
+  streams fail to decode.  XLA does not guarantee that the same math in
+  *different* programs (different fusion contexts) is bit-identical —
+  producer-consumer fusion (e.g. analysis feeding the prior inside one
+  fused encode program) was observed to perturb conv results in bf16.
+  The runtime therefore shares the jitted sub-programs: every tensor
+  that influences symbol decisions or reconstruction (priors, masks'
+  means accumulation, synthesis) is computed by the LITERALLY SAME
+  compiled executable on both sides, and only exact integer tensors
+  (z int8, y_q int8, symbol indexes) cross program boundaries.
+
+Program graph (4-step quadtree ladder, dmci_proxy.cpp:296-601):
+  enc:  analysis -> [shared prior0] -> { enc_quant_k -> [shared step_k] }*4
+        -> [shared synthesis]
+  dec:  host z rANS -> [shared prior0] -> { host y rANS -> expand_k ->
+        [shared step_k] }*4 -> [shared synthesis]
+Symbols are compacted ON DEVICE (cumsum + scatter, replacing the
+reference's conditional_index kernels); the host fetches per-step counts
+then bucket-sliced coded buffers.  One executable serves all 64 QPs
+(QP is a traced bank index).
 """
 
 import functools
@@ -130,48 +135,48 @@ class DMCICodec:
             return idx, cond
 
         @jax.jit
-        def enc_all(x, qp):
-            """The whole encode ladder in one program."""
+        def analysis(x, qp):
+            """Encoder-only: pad + analysis transform.  z is materialized
+            as int8 (exact) before any shared consumer sees it."""
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
                         mode="edge")
             y_scaled, z_int8 = model.apply(variables, x.astype(model.dtype),
                                            qp, method=DMCI.analysis)
-            scales, means, ctx = model.apply(variables, z_int8, yh, yw,
-                                             method=DMCI.prior0)
-            y_hat_so_far = jnp.zeros(y_scaled.shape, jnp.float32)
-            packed, counts = [], []
-            for k in range(4):
-                y_q, y_hat, s_hat, cond = mcommon.process_with_mask_infer(
-                    y_scaled, scales, means, masks[k], skip)
-                combined, _, cond_flat = mcommon.build_combined_symbols(
-                    y_q, s_hat, cond)
-                pk, ck = compact_device(combined, cond_flat)
-                packed.append(pk)
-                counts.append(ck)
-                y_hat_so_far = y_hat_so_far + y_hat
-                if k < 3:
-                    scales, means = _prior_step(ctx, y_hat_so_far, k + 1)
-            x_hat = model.apply(variables, y_hat_so_far, qp, h, w,
-                                method=DMCI.synthesis)
-            return (jnp.stack(packed), jnp.stack(counts), z_int8, x_hat)
+            return y_scaled.astype(jnp.float32), z_int8
 
         @jax.jit
-        def dec_prior0(z_int8):
-            """Fused prior + step-0 compacted indexes."""
+        def prior0(z_int8):
+            """SHARED enc+dec: hyper prior + step-0 compacted indexes."""
             scales, means, ctx = model.apply(variables, z_int8, yh, yw,
                                              method=DMCI.prior0)
             idx, cond = _build_idx(scales, masks[0])
             packed_idx, count = compact_device(idx, cond)
             return means, ctx, packed_idx, count, cond
 
-        def _dec_step_with_ctx(step):
+        def _enc_quant(step):
+            """Encoder-only per-step quantization.  cond/packed_idx come
+            from the shared prior program; outputs are integers."""
+            mask = masks[step]
+
+            @jax.jit
+            def fn(y_scaled, means, cond, packed_idx):
+                y_q = mcommon.quantize_with_cond(y_scaled, means, mask, cond)
+                packed_q, _ = compact_device(
+                    y_q.astype(jnp.int16).reshape(-1), cond)
+                combined = (packed_q << 8) | (packed_idx.astype(jnp.int16)
+                                              & 0xFF)
+                return combined, y_q
+            return fn
+
+        def _step(step):
+            """SHARED enc+dec ladder rung: accumulate y_hat from integer
+            y_q + means, then the next spatial prior + indexes."""
             mask = masks[step]
             last = step == 3
 
             @jax.jit
-            def fn(decoded_padded, cond, means, y_hat_so_far, ctx):
-                y_q = expand_device(decoded_padded.astype(jnp.float32), cond)
-                y_q = y_q.reshape(1, yh, yw, ch_y)
+            def fn(y_q_int8, means, y_hat_so_far, ctx):
+                y_q = y_q_int8.astype(jnp.float32)
                 means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
                 y_hat_so_far = y_hat_so_far + (y_q + means_hat)
                 if last:
@@ -184,7 +189,14 @@ class DMCICodec:
             return fn
 
         @jax.jit
+        def expand(decoded_padded, cond):
+            """Decoder-only: scatter decoded symbols back to the grid."""
+            y_q = expand_device(decoded_padded, cond)
+            return y_q.reshape(1, yh, yw, ch_y)
+
+        @jax.jit
         def synthesis(y_hat_so_far, qp):
+            """SHARED enc+dec reconstruction."""
             return model.apply(variables, y_hat_so_far, qp, h, w,
                                method=DMCI.synthesis)
 
@@ -193,9 +205,11 @@ class DMCICodec:
             return jax.jit(lambda b: jax.lax.slice(b, (0,), (bucket,)))
 
         progs = {
-            "enc_all": enc_all,
-            "dec_prior0": dec_prior0,
-            "dec_step": [_dec_step_with_ctx(k) for k in range(4)],
+            "analysis": analysis,
+            "prior0": prior0,
+            "enc_quant": [_enc_quant(k) for k in range(4)],
+            "step": [_step(k) for k in range(4)],
+            "expand": expand,
             "synthesis": synthesis,
             "slice": slice_prog,
             "dims": (ph, pw, yh, yw, zh, zw, n_sym),
@@ -216,9 +230,25 @@ class DMCICodec:
         h = x.shape[1] if h is None else h
         w = x.shape[2] if w is None else w
         p = self._get_programs(h, w)
-        n_sym = p["dims"][6]
+        _, _, yh, yw, _, _, n_sym = p["dims"]
+        qp_arr = jnp.int32(qp)
 
-        packed, counts, z_int8, x_hat = p["enc_all"](x, jnp.int32(qp))
+        y_scaled, z_int8 = p["analysis"](x, qp_arr)
+        means, ctx, packed_idx, count, cond = p["prior0"](z_int8)
+        y_hat = jnp.zeros((1, yh, yw, self.cfg.ch_y), jnp.float32)
+        packed, counts = [], []
+        for k in range(4):
+            combined, y_q = p["enc_quant"][k](y_scaled, means, cond,
+                                              packed_idx)
+            packed.append(combined)
+            counts.append(count)
+            out = p["step"][k](y_q, means, y_hat, ctx)
+            if k < 3:
+                y_hat, means, packed_idx, count, cond = out
+            else:
+                y_hat = out
+        x_hat = p["synthesis"](y_hat, qp_arr)
+
         counts_np, z_np = jax.device_get((counts, z_int8))
 
         # fetch only coded symbols (bucket-rounded slices, overlapped)
@@ -234,7 +264,7 @@ class DMCICodec:
                  else np.asarray(b)[:int(counts_np[k])]
                  for k, b in enumerate(bufs)]
 
-        total = int(counts_np.sum())
+        total = int(sum(int(c) for c in counts_np))
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
@@ -266,8 +296,8 @@ class DMCICodec:
         self.decoder.decode_z(z_num, int(qp) * ch_z, ch_z)
         z_int8 = jnp.asarray(self.decoder.get_decoded().reshape(1, zh, zw, ch_z))
 
-        means, ctx, packed_idx, count, cond = p["dec_prior0"](z_int8)
-        y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+        means, ctx, packed_idx, count, cond = p["prior0"](z_int8)
+        y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
 
         for k in range(4):
             c = int(count)
@@ -281,12 +311,12 @@ class DMCICodec:
             else:
                 bucket = BUCKET
                 pad = np.zeros(bucket, np.int8)
-            out = p["dec_step"][k](jnp.asarray(pad), cond, means,
-                                   y_hat_so_far, ctx)
+            y_q = p["expand"](jnp.asarray(pad), cond)
+            out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
-                y_hat_so_far, means, packed_idx, count, cond = out
+                y_hat, means, packed_idx, count, cond = out
             else:
-                y_hat_so_far = out
+                y_hat = out
 
-        x_hat = p["synthesis"](y_hat_so_far, qp_arr)
+        x_hat = p["synthesis"](y_hat, qp_arr)
         return {"x_hat": x_hat}

@@ -3,19 +3,29 @@ reference DMCHTSProxy / DMCHTLProxy / DMCLDProxy
 (src/layers/extensions/inference/dmc_hts_proxy.cpp etc.).
 
 Persistent DPB state (ref_feature / memory) lives as device arrays on the
-codec object.  Dispatch/transfer-optimized like image_codec.py:
-  * ENCODE is one fused program per resolution (temporal adaptor ->
-    analysis -> fused prior -> masked quant steps -> reconstruction +
-    next DPB state), with on-device symbol compaction; the host fetches
-    counts then bucket-sliced coded symbols.
-  * DECODE for means-only variants (HTS / LD) needs ONE entropy pass:
-    a first program derives every step's compacted scale indexes from the
-    fused prior; after the host rANS decode, a second program runs the
-    whole means ladder + reconstruction (2 device programs per chunk).
-  * HTL (scales+means priors) runs the 4-step interleaved ladder.
-  * reset_feature_memory folds the recon-head reset into the state
-    update (reference reset graph variants).
+codec object.
+
+Bit-exactness architecture (see image_codec.py): encoder and decoder call
+the LITERALLY SAME compiled executables for every tensor that influences
+symbol decisions or reconstruction — the temporal adaptor, the fused
+prior, each ladder rung's means accumulation + next prior, and synthesis.
+Only exact integer tensors (z int8, y_q int8) cross program boundaries.
+XLA producer-consumer fusion otherwise perturbs bf16 convs between a
+fused encoder program and the decoder's laddered programs, flipping
+skip/index decisions near thresholds.
+
+Program graphs:
+  * means-only variants (HTS / LD) keep the reference's single-entropy-
+    pass decode (dmc_hts_proxy.cpp:634-657): the shared prior program
+    emits EVERY step's compacted indexes at once; after one host rANS
+    pass the ladder is steps x small shared accumulate+prior programs.
+  * scales+means variants (HTL, DCVC-RT) run the interleaved 4-step
+    ladder (dmc_htl_proxy.cpp:606-690).
+  * reset_feature_memory folds the recon-head reset into the shared
+    final program (reference reset graph variants).
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -112,11 +122,6 @@ class VideoCodecBase:
         def _apply(method, *args):
             return model.apply(variables, *args, method=method)
 
-        def _adaptor(memory, ref):
-            if memory is None:
-                return _apply(type(model).adaptor_i, ref)
-            return _apply(type(model).adaptor_m, memory, ref)
-
         def _prior_step(spctx, y_hat_so_far, step):
             if steps == 4:
                 out = _apply(type(model).prior_step, spctx, y_hat_so_far,
@@ -125,11 +130,12 @@ class VideoCodecBase:
                 out = _apply(type(model).prior_step, spctx, y_hat_so_far)
             return out
 
-        def _step_prior(k, spctx, y_hat_so_far, scales):
+        def _step_prior_means(k, spctx, y_hat_so_far):
+            """Means-only variants: next step's means."""
             out = _prior_step(spctx, y_hat_so_far, k + 1)
             if isinstance(out, tuple):
-                return out          # HTL: new scales + means
-            return scales, out      # means-only variants keep scales
+                raise AssertionError("means-only path got scales+means")
+            return out
 
         def _build_idx(scales, mask):
             s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
@@ -138,7 +144,7 @@ class VideoCodecBase:
             return idx, cond
 
         def _state_update(feature, reset):
-            """(new_ref_feature, keep_memory) under the reset flag."""
+            """(new_ref_feature) under the reset flag."""
             if reset:
                 return _apply(type(model).reset_feature, feature)
             return feature
@@ -147,103 +153,107 @@ class VideoCodecBase:
         def seed_ref(frame):
             return pixel_unshuffle(_pad(frame).astype(mdtype), 8)
 
-        def _enc_all(has_memory, reset):
+        def _adaptor_prog(has_memory):
+            """SHARED enc+dec: temporal feature adaptor."""
             @jax.jit
-            def fn(x, memory, ref, qp):
-                mem, ctx = _adaptor(memory if has_memory else None, ref)
-                y, z_int8 = _apply(type(model).analysis,
-                                   _pad(x).astype(mdtype), ctx, qp)
-                q_enc, q_dec, scales, means, spctx = _apply(
-                    type(model).prior0, z_int8, mem, qp, yh, yw)
-                y_scaled = y.astype(jnp.float32) * q_enc.astype(jnp.float32)
+            def fn(memory, ref):
+                if has_memory:
+                    return _apply(type(model).adaptor_m, memory, ref)
+                return _apply(type(model).adaptor_i, ref)
+            return fn
 
-                y_hat_so_far = jnp.zeros(y_scaled.shape, jnp.float32)
-                combined_list, cond_list, counts = [], [], []
+        @jax.jit
+        def enc_analysis(x, ctx, qp):
+            """Encoder-only: pad + analysis transform; z materialized as
+            int8 (exact) before any shared consumer sees it."""
+            y, z_int8 = _apply(type(model).analysis,
+                               _pad(x).astype(mdtype), ctx, qp)
+            return y.astype(jnp.float32), z_int8
+
+        @jax.jit
+        def prior(z_int8, mem, qp):
+            """SHARED enc+dec: fused prior.  Single-pass variants emit
+            every step's compacted indexes (one entropy pass)."""
+            q_enc, q_dec, scales, means, spctx = _apply(
+                type(model).prior0, z_int8, mem, qp, yh, yw)
+            if single_pass:
+                idxs, conds = [], []
                 for k in range(steps):
-                    y_q, y_hat, s_hat, cond = mcommon.process_with_mask_infer(
-                        y_scaled, scales, means, masks[k], skip)
-                    combined, _, cond_flat = mcommon.build_combined_symbols(
-                        y_q, s_hat, cond)
-                    combined_list.append(combined)
-                    cond_list.append(cond_flat)
-                    counts.append(jnp.sum(cond_flat).astype(jnp.int32))
-                    y_hat_so_far = y_hat_so_far + y_hat
-                    if k < steps - 1:
-                        scales, means = _step_prior(k, spctx, y_hat_so_far,
-                                                    scales)
-                y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
-                x_hat, feature = _apply(type(model).synthesis, y_hat, ctx,
-                                        qp, h, w)
-                new_ref = _state_update(feature, reset)
-                if single_pass:
-                    # one globally-compacted buffer in step order 0..n:
-                    # one encode_y call <-> one decode_y call
-                    sym, _ = compact_device(jnp.concatenate(combined_list),
-                                            jnp.concatenate(cond_list))
-                else:
-                    sym = jnp.stack([compact_device(c, f)[0]
-                                     for c, f in zip(combined_list,
-                                                     cond_list)])
-                return sym, jnp.stack(counts), z_int8, x_hat, new_ref, mem
-            return fn
+                    idx, cond = _build_idx(scales, masks[k])
+                    idxs.append(idx)
+                    conds.append(cond)
+                cond_all = jnp.concatenate(conds)
+                packed_idx, count = compact_device(
+                    jnp.concatenate(idxs), cond_all)
+                return (q_enc, q_dec, means, spctx, packed_idx, count,
+                        cond_all)
+            idx, cond = _build_idx(scales, masks[0])
+            packed_idx, count = compact_device(idx, cond)
+            return q_enc, q_dec, means, spctx, packed_idx, count, cond
 
-        def _dec_prior(has_memory):
-            """Fused adaptor + prior; single-pass variants also emit every
-            step's compacted indexes (one entropy pass)."""
+        def _enc_quant_single(step):
+            """Encoder-only (single-pass): per-step integer quantization;
+            cond comes from the shared prior program's concatenated cond."""
+            mask = masks[step]
+            lo, hi = step * n_sym, (step + 1) * n_sym
+
             @jax.jit
-            def fn(z_int8, memory, ref, qp):
-                mem, ctx = _adaptor(memory if has_memory else None, ref)
-                q_enc, q_dec, scales, means, spctx = _apply(
-                    type(model).prior0, z_int8, mem, qp, yh, yw)
-                if single_pass:
-                    idxs, conds = [], []
-                    for k in range(steps):
-                        idx, cond = _build_idx(scales, masks[k])
-                        idxs.append(idx)
-                        conds.append(cond)
-                    cond_all = jnp.concatenate(conds)
-                    packed_idx, count = compact_device(
-                        jnp.concatenate(idxs), cond_all)
-                    return (q_dec, means, spctx, ctx, mem, packed_idx,
-                            count, cond_all)
-                idx, cond = _build_idx(scales, masks[0])
-                packed_idx, count = compact_device(idx, cond)
-                return (q_dec, scales, means, spctx, ctx, mem, packed_idx,
-                        count, cond)
+            def fn(y, q_enc, means, cond_all):
+                y_scaled = y * q_enc.astype(jnp.float32)
+                cond_k = jax.lax.slice(cond_all, (lo,), (hi,))
+                return mcommon.quantize_with_cond(y_scaled, means, mask,
+                                                  cond_k)
             return fn
 
-        def _dec_ladder_single(reset):
-            """Means-only variants: whole ladder + synthesis in one
-            program after the single entropy pass."""
+        @jax.jit
+        def enc_finalize_single(cond_all, packed_idx, *y_qs):
+            """Encoder-only (single-pass): one globally-compacted combined
+            buffer in step order — one encode_y <-> one decode_y."""
+            yq = jnp.concatenate([q.astype(jnp.int16).reshape(-1)
+                                  for q in y_qs])
+            packed_q, _ = compact_device(yq, cond_all)
+            return (packed_q << 8) | (packed_idx.astype(jnp.int16) & 0xFF)
+
+        def _enc_quant_ladder(step):
+            """Encoder-only (ladder): quantize + per-step combined buffer."""
+            mask = masks[step]
+
             @jax.jit
-            def fn(decoded_padded, cond_all, means, spctx, ctx, q_dec, qp):
-                y_q_all = expand_device(
-                    decoded_padded.astype(jnp.float32), cond_all)
-                y_q_steps = jnp.split(y_q_all, steps)
-                y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
-                scales = None
-                for k in range(steps):
-                    y_q = y_q_steps[k].reshape(1, yh, yw, ch_y)
-                    means_hat = jnp.where(masks[k], means, 0).astype(jnp.float32)
-                    y_hat_so_far = y_hat_so_far + (y_q + means_hat)
-                    if k < steps - 1:
-                        _, means = _step_prior(k, spctx, y_hat_so_far, scales)
-                y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
-                x_hat, feature = _apply(type(model).synthesis, y_hat, ctx,
-                                        qp, h, w)
-                return x_hat, _state_update(feature, reset)
+            def fn(y, q_enc, means, cond, packed_idx):
+                y_scaled = y * q_enc.astype(jnp.float32)
+                y_q = mcommon.quantize_with_cond(y_scaled, means, mask, cond)
+                packed_q, _ = compact_device(
+                    y_q.astype(jnp.int16).reshape(-1), cond)
+                combined = (packed_q << 8) | (packed_idx.astype(jnp.int16)
+                                              & 0xFF)
+                return combined, y_q
             return fn
 
-        def _dec_step_ladder(step):
-            """HTL interleaved rung: scatter + accumulate + next prior +
+        def _step_single(step):
+            """SHARED enc+dec (means-only): accumulate + next means."""
+            mask = masks[step]
+            last = step == steps - 1
+
+            @jax.jit
+            def fn(y_q_int8, means, y_hat_so_far, spctx):
+                y_q = y_q_int8.astype(jnp.float32)
+                means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
+                y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                if last:
+                    return y_hat_so_far
+                means_next = _step_prior_means(step, spctx, y_hat_so_far)
+                return y_hat_so_far, means_next
+            return fn
+
+        def _step_ladder(step):
+            """SHARED enc+dec (scales+means): accumulate + next prior +
             next compacted indexes."""
             mask = masks[step]
             last = step == steps - 1
 
             @jax.jit
-            def fn(decoded_padded, cond, means, y_hat_so_far, spctx):
-                y_q = expand_device(decoded_padded.astype(jnp.float32), cond)
-                y_q = y_q.reshape(1, yh, yw, ch_y)
+            def fn(y_q_int8, means, y_hat_so_far, spctx):
+                y_q = y_q_int8.astype(jnp.float32)
                 means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
                 y_hat_so_far = y_hat_so_far + (y_q + means_hat)
                 if last:
@@ -256,7 +266,21 @@ class VideoCodecBase:
                         cond_next)
             return fn
 
-        def _dec_final(reset):
+        @jax.jit
+        def expand_all(decoded_padded, cond_all):
+            """Decoder-only (single-pass): scatter ALL steps' symbols."""
+            y_q = expand_device(decoded_padded, cond_all)
+            return tuple(q.reshape(1, yh, yw, ch_y)
+                         for q in jnp.split(y_q, steps))
+
+        @jax.jit
+        def expand(decoded_padded, cond):
+            """Decoder-only (ladder): scatter one step's symbols."""
+            y_q = expand_device(decoded_padded, cond)
+            return y_q.reshape(1, yh, yw, ch_y)
+
+        def _final(reset):
+            """SHARED enc+dec: q_dec scale + synthesis + DPB update."""
             @jax.jit
             def fn(y_hat_so_far, q_dec, ctx, qp):
                 y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
@@ -265,23 +289,28 @@ class VideoCodecBase:
                 return x_hat, _state_update(feature, reset)
             return fn
 
-        import functools
-
         @functools.lru_cache(maxsize=64)
         def slice_prog(bucket):
             return jax.jit(lambda b: jax.lax.slice(b, (0,), (bucket,)))
 
+        step_fn = _step_single if single_pass else _step_ladder
         progs = {
             "seed_ref": seed_ref,
-            "enc_all": {(m, r): _enc_all(m, r)
-                        for m in (False, True) for r in (False, True)},
-            "dec_prior": {m: _dec_prior(m) for m in (False, True)},
-            "dec_single": {r: _dec_ladder_single(r) for r in (False, True)},
-            "dec_step": [_dec_step_ladder(k) for k in range(steps)],
-            "dec_final": {r: _dec_final(r) for r in (False, True)},
+            "adaptor": {m: _adaptor_prog(m) for m in (False, True)},
+            "enc_analysis": enc_analysis,
+            "prior": prior,
+            "step": [step_fn(k) for k in range(steps)],
+            "final": {r: _final(r) for r in (False, True)},
             "slice": slice_prog,
             "dims": (ph, pw, yh, yw, zh, zw, n_sym),
         }
+        if single_pass:
+            progs["enc_quant"] = [_enc_quant_single(k) for k in range(steps)]
+            progs["enc_finalize"] = enc_finalize_single
+            progs["expand_all"] = expand_all
+        else:
+            progs["enc_quant"] = [_enc_quant_ladder(k) for k in range(steps)]
+            progs["expand"] = expand
         self._programs[key] = progs
         return progs
 
@@ -289,7 +318,6 @@ class VideoCodecBase:
 
     def _fetch_coded(self, p, packed, count, dtype=np.int16):
         c = int(count)
-        n_sym = p["dims"][6]
         if c == 0:
             return np.empty(0, dtype)
         bucket = _round_bucket(c, packed.shape[0])
@@ -307,18 +335,50 @@ class VideoCodecBase:
         h = x.shape[1] if h is None else h
         w = x.shape[2] if w is None else w
         p = self._get_programs(h, w)
+        _, _, yh, yw, _, _, n_sym = p["dims"]
         reset = bool(reset_feature_memory)
+        qp_arr = jnp.int32(qp)
 
         has_memory = self.memory is not None
         memory_arg = self.memory if has_memory else self.ref_feature  # dummy
-        sym, counts, z_int8, x_hat, new_ref, mem = \
-            p["enc_all"][(has_memory, reset)](x, memory_arg,
-                                              self.ref_feature, jnp.int32(qp))
+        mem, ctx = p["adaptor"][has_memory](memory_arg, self.ref_feature)
+        y, z_int8 = p["enc_analysis"](x, ctx, qp_arr)
+        y_hat = jnp.zeros((1, yh, yw, self.cfg.ch_y), jnp.float32)
+
+        if self.single_pass:
+            (q_enc, q_dec, means, spctx, packed_idx, count, cond_all) = \
+                p["prior"](z_int8, mem, qp_arr)
+            y_qs = []
+            for k in range(self.steps):
+                y_q = p["enc_quant"][k](y, q_enc, means, cond_all)
+                y_qs.append(y_q)
+                out = p["step"][k](y_q, means, y_hat, spctx)
+                if k < self.steps - 1:
+                    y_hat, means = out
+                else:
+                    y_hat = out
+            sym = p["enc_finalize"](cond_all, packed_idx, *y_qs)
+            counts = [count]
+        else:
+            (q_enc, q_dec, means, spctx, packed_idx, count, cond) = \
+                p["prior"](z_int8, mem, qp_arr)
+            sym, counts = [], []
+            for k in range(self.steps):
+                combined, y_q = p["enc_quant"][k](y, q_enc, means, cond,
+                                                  packed_idx)
+                sym.append(combined)
+                counts.append(count)
+                out = p["step"][k](y_q, means, y_hat, spctx)
+                if k < self.steps - 1:
+                    y_hat, means, packed_idx, count, cond = out
+                else:
+                    y_hat = out
+        x_hat, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
         self.ref_feature = new_ref
         self.memory = None if reset else mem
 
         counts_np, z_np = jax.device_get((counts, z_int8))
-        total = int(counts_np.sum())
+        total = int(sum(int(c) for c in counts_np))
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
@@ -359,11 +419,12 @@ class VideoCodecBase:
 
         has_memory = self.memory is not None
         memory_arg = self.memory if has_memory else self.ref_feature  # dummy
+        mem, ctx = p["adaptor"][has_memory](memory_arg, self.ref_feature)
+        y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
 
         if self.single_pass:
-            (q_dec, means, spctx, ctx, mem, packed_idx, count, cond_all) = \
-                p["dec_prior"][has_memory](z_int8, memory_arg,
-                                           self.ref_feature, qp_arr)
+            (q_enc, q_dec, means, spctx, packed_idx, count, cond_all) = \
+                p["prior"](z_int8, mem, qp_arr)
             c = int(count)
             if c > 0:
                 idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
@@ -374,13 +435,16 @@ class VideoCodecBase:
                 pad[:c] = decoded
             else:
                 pad = np.zeros(BUCKET, np.int8)
-            x_hat, new_ref = p["dec_single"][reset](
-                jnp.asarray(pad), cond_all, means, spctx, ctx, q_dec, qp_arr)
+            y_qs = p["expand_all"](jnp.asarray(pad), cond_all)
+            for k in range(self.steps):
+                out = p["step"][k](y_qs[k], means, y_hat, spctx)
+                if k < self.steps - 1:
+                    y_hat, means = out
+                else:
+                    y_hat = out
         else:
-            (q_dec, scales, means, spctx, ctx, mem, packed_idx, count,
-             cond) = p["dec_prior"][has_memory](z_int8, memory_arg,
-                                                self.ref_feature, qp_arr)
-            y_hat_so_far = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+            (q_enc, q_dec, means, spctx, packed_idx, count, cond) = \
+                p["prior"](z_int8, mem, qp_arr)
             for k in range(self.steps):
                 c = int(count)
                 if c > 0:
@@ -392,15 +456,14 @@ class VideoCodecBase:
                     pad[:c] = decoded
                 else:
                     pad = np.zeros(BUCKET, np.int8)
-                out = p["dec_step"][k](jnp.asarray(pad), cond, means,
-                                       y_hat_so_far, spctx)
+                y_q = p["expand"](jnp.asarray(pad), cond)
+                out = p["step"][k](y_q, means, y_hat, spctx)
                 if k < self.steps - 1:
-                    y_hat_so_far, means, packed_idx, count, cond = out
+                    y_hat, means, packed_idx, count, cond = out
                 else:
-                    y_hat_so_far = out
-            x_hat, new_ref = p["dec_final"][reset](y_hat_so_far, q_dec,
-                                                   ctx, qp_arr)
+                    y_hat = out
 
+        x_hat, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
         self.ref_feature = new_ref
         self.memory = None if reset else mem
         return {"x_hat": x_hat}
