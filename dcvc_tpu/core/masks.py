@@ -11,6 +11,7 @@ broadcasted iota so they can live inside a jitted program as constants
 
 import functools
 
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -64,3 +65,85 @@ def make_mask_4x(h, w, c):
         groups = [np.repeat(m[g][:, :, None], q, 2) for g in order]
         masks.append(np.concatenate(groups, axis=2))
     return tuple(masks)
+
+
+# --------------------------------------------------------------------------
+# Candidate-domain phase terms.
+#
+# Every mask above is a union of (2x2 spatial phase) x (channel range)
+# terms, so "the positions of mask k" form a REGULAR subgrid: extracting
+# them is strided slicing and re-inserting them is a 2x2 pixel-shuffle —
+# both XLA-friendly, unlike the gathers/scatters a flat boolean mask
+# needs.  The inference runtimes quantize/entropy-code in this packed
+# "candidate domain": (1, H/2, W/2, sum-of-term-channels).
+
+_PHASES = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def phase_terms_4x(c):
+    """Per step: list of ((yo, xo), ch_lo, ch_hi) terms matching
+    make_mask_4x.  Candidate shape per step: (1, h/2, w/2, c)."""
+    assert c % 4 == 0
+    q = c // 4
+    orders = [(0, 1, 2, 3), (3, 2, 1, 0), (2, 3, 0, 1), (1, 0, 3, 2)]
+    return [
+        [(_PHASES[order[g]], g * q, (g + 1) * q) for g in range(4)]
+        for order in orders
+    ]
+
+
+def phase_terms_2x(c):
+    """Per step: terms matching make_mask_2x.  Each channel half has two
+    phases; candidate shape per step: (1, h/2, w/2, 2c)."""
+    assert c % 2 == 0
+    half = c // 2
+    t0 = [((0, 0), 0, half), ((1, 1), 0, half),
+          ((0, 1), half, c), ((1, 0), half, c)]
+    t1 = [((0, 1), 0, half), ((1, 0), 0, half),
+          ((0, 0), half, c), ((1, 1), half, c)]
+    return [t0, t1]
+
+
+def phase_split(x, terms):
+    """(1, h, w, c) -> candidate (1, h/2, w/2, sum(hi-lo)) by strided
+    slicing each term's phase subgrid, concatenated in term order."""
+    parts = [x[:, yo::2, xo::2, lo:hi] for ((yo, xo), lo, hi) in terms]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def phase_merge(xc, terms, c):
+    """Inverse of phase_split: scatter candidate channels back to their
+    (phase, channel-range) positions of the full (1, h, w, c) grid;
+    positions not covered by any term are zero."""
+    h2, w2 = xc.shape[1], xc.shape[2]
+    # regroup terms by channel range (2x masks have 2 phases per range)
+    by_range = {}
+    off = 0
+    order = []
+    for (ph, lo, hi) in terms:
+        if (lo, hi) not in by_range:
+            by_range[(lo, hi)] = {}
+            order.append((lo, hi))
+        by_range[(lo, hi)][ph] = xc[..., off:off + (hi - lo)]
+        off += hi - lo
+    assert sorted(order) == order and order[0][0] == 0 and order[-1][1] == c
+    outs = []
+    for (lo, hi) in order:
+        phases = by_range[(lo, hi)]
+        z = None
+        grid = []
+        for yy in (0, 1):
+            row = []
+            for xx in (0, 1):
+                v = phases.get((yy, xx))
+                if v is None:
+                    if z is None:
+                        z = jnp.zeros((1, h2, w2, hi - lo),
+                                      next(iter(phases.values())).dtype)
+                    v = z
+                row.append(v)
+            grid.append(row)
+        t = jnp.stack([jnp.stack(grid[0], axis=3),
+                       jnp.stack(grid[1], axis=3)], axis=2)
+        outs.append(t.reshape(1, 2 * h2, 2 * w2, hi - lo))
+    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

@@ -8,20 +8,23 @@ Bit-exactness architecture (the enc/dec contract):
   producer-consumer fusion (e.g. analysis feeding the prior inside one
   fused encode program) was observed to perturb conv results in bf16.
   The runtime therefore shares the jitted sub-programs: every tensor
-  that influences symbol decisions or reconstruction (priors, masks'
-  means accumulation, synthesis) is computed by the LITERALLY SAME
-  compiled executable on both sides, and only exact integer tensors
-  (z int8, y_q int8, symbol indexes) cross program boundaries.
+  that influences symbol decisions or reconstruction (priors, means
+  accumulation, synthesis) is computed by the LITERALLY SAME compiled
+  executable on both sides, and only exact integer tensors (z int8,
+  y_q int8, symbol indexes) cross program boundaries.
+
+Symbol-path architecture: all quantization/entropy bookkeeping runs in
+the quarter-size "candidate domain" (phase-split subgrids of each
+quadtree mask, core/masks.py) and symbol compaction/expansion is
+sort-based (runtime/symbols.py) — replacing the reference's scatter
+kernels, which are slow on TPU.
 
 Program graph (4-step quadtree ladder, dmci_proxy.cpp:296-601):
   enc:  analysis -> [shared prior0] -> { enc_quant_k -> [shared step_k] }*4
         -> [shared synthesis]
   dec:  host z rANS -> [shared prior0] -> { host y rANS -> expand_k ->
         [shared step_k] }*4 -> [shared synthesis]
-Symbols are compacted ON DEVICE (cumsum + scatter, replacing the
-reference's conditional_index kernels); the host fetches per-step counts
-then bucket-sliced coded buffers.  One executable serves all 64 QPs
-(QP is a traced bank index).
+One executable serves all 64 QPs (QP is a traced bank index).
 """
 
 import functools
@@ -30,13 +33,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.masks import make_mask_4x
+from ..core.masks import phase_terms_4x, phase_split, phase_merge
 from ..core.padding import get_padding_size
 from ..entropy.bit_estimator import BitEstimator
 from ..entropy.gaussian import GaussianConditional, scale_to_index
-from ..models import common as mcommon
 from ..models.dmci import DMCI, DMCIConfig
 from .. import rans
+from .symbols import (compact_idx, compact_vals, expand_from_pos,
+                      quantize_candidate)
 
 # transfer bucket granularity for sliced symbol fetches (elements)
 BUCKET = 1 << 16
@@ -47,14 +51,10 @@ def _round_bucket(n, cap):
 
 
 def compact_device(values, cond):
-    """Stable stream compaction: coded values move to the front, count
-    returned.  values, cond: flat (N,)."""
-    n = values.shape[0]
-    pos = jnp.cumsum(cond.astype(jnp.int32)) - 1
-    idx = jnp.where(cond, pos, n)
-    packed = jnp.zeros((n,), values.dtype).at[idx].set(values, mode="drop")
-    count = jnp.where(n > 0, pos[-1] + 1, 0).astype(jnp.int32)
-    return packed, count
+    """Stable stream compaction (sort-based): coded values move to the
+    front, count returned.  values, cond: flat (N,)."""
+    packed = compact_vals(values, cond)
+    return packed, jnp.sum(cond, dtype=jnp.int32)
 
 
 def expand_device(decoded_padded, cond):
@@ -118,8 +118,8 @@ class DMCICodec:
         yh, yw = ph // 16, pw // 16
         zh, zw = ph // 64, pw // 64
         ch_y = self.cfg.ch_y
-        n_sym = yh * yw * ch_y
-        masks = make_mask_4x(yh, yw, ch_y)
+        terms = phase_terms_4x(ch_y)
+        n_cand = (yh // 2) * (yw // 2) * ch_y  # per-step candidate count
         variables = {"params": self.params}
         model = self.model
         skip = self.skip_thres
@@ -128,11 +128,15 @@ class DMCICodec:
             return model.apply(variables, ctx, y_hat_so_far, step,
                                method=DMCI.prior_step)
 
-        def _build_idx(scales, mask):
-            s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
-            idx = scale_to_index(s_hat).astype(jnp.uint8).reshape(-1)
-            cond = (s_hat > skip).reshape(-1)
-            return idx, cond
+        def _build_idx(scales, step):
+            """Candidate-domain scale indexes + skip conditions + their
+            stable compaction, for mask step `step`."""
+            sc = phase_split(scales, terms[step]).astype(jnp.float32)
+            flat = sc.reshape(-1)
+            idx = scale_to_index(flat).astype(jnp.uint8)
+            cond = flat > skip
+            packed_idx, packed_pos, count = compact_idx(idx, cond)
+            return packed_idx, packed_pos, count, cond
 
         @jax.jit
         def analysis(x, qp):
@@ -149,19 +153,19 @@ class DMCICodec:
             """SHARED enc+dec: hyper prior + step-0 compacted indexes."""
             scales, means, ctx = model.apply(variables, z_int8, yh, yw,
                                              method=DMCI.prior0)
-            idx, cond = _build_idx(scales, masks[0])
-            packed_idx, count = compact_device(idx, cond)
-            return means, ctx, packed_idx, count, cond
+            packed_idx, packed_pos, count, cond = _build_idx(scales, 0)
+            return means, ctx, packed_idx, packed_pos, count, cond
 
         def _enc_quant(step):
-            """Encoder-only per-step quantization.  cond/packed_idx come
-            from the shared prior program; outputs are integers."""
-            mask = masks[step]
-
+            """Encoder-only per-step quantization in the candidate
+            domain.  cond/packed_idx come from the shared prior program;
+            outputs are integers."""
             @jax.jit
             def fn(y_scaled, means, cond, packed_idx):
-                y_q = mcommon.quantize_with_cond(y_scaled, means, mask, cond)
-                packed_q, _ = compact_device(
+                y_c = phase_split(y_scaled, terms[step])
+                m_c = phase_split(means, terms[step]).astype(jnp.float32)
+                y_q = quantize_candidate(y_c, m_c, cond)
+                packed_q = compact_vals(
                     y_q.astype(jnp.int16).reshape(-1), cond)
                 combined = (packed_q << 8) | (packed_idx.astype(jnp.int16)
                                               & 0xFF)
@@ -169,30 +173,31 @@ class DMCICodec:
             return fn
 
         def _step(step):
-            """SHARED enc+dec ladder rung: accumulate y_hat from integer
-            y_q + means, then the next spatial prior + indexes."""
-            mask = masks[step]
+            """SHARED enc+dec ladder rung: merge integer y_q + means into
+            y_hat, then the next spatial prior + indexes."""
             last = step == 3
 
             @jax.jit
             def fn(y_q_int8, means, y_hat_so_far, ctx):
-                y_q = y_q_int8.astype(jnp.float32)
-                means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
-                y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                m_c = phase_split(means, terms[step]).astype(jnp.float32)
+                contrib = y_q_int8.astype(jnp.float32) + m_c
+                y_hat_so_far = y_hat_so_far + phase_merge(
+                    contrib, terms[step], ch_y)
                 if last:
                     return y_hat_so_far
                 scales, means_next = _prior_step(ctx, y_hat_so_far, step + 1)
-                idx, cond_next = _build_idx(scales, masks[step + 1])
-                packed_idx, count = compact_device(idx, cond_next)
-                return (y_hat_so_far, means_next, packed_idx, count,
-                        cond_next)
+                packed_idx, packed_pos, count, cond = _build_idx(
+                    scales, step + 1)
+                return (y_hat_so_far, means_next, packed_idx, packed_pos,
+                        count, cond)
             return fn
 
         @jax.jit
-        def expand(decoded_padded, cond):
-            """Decoder-only: scatter decoded symbols back to the grid."""
-            y_q = expand_device(decoded_padded, cond)
-            return y_q.reshape(1, yh, yw, ch_y)
+        def expand(decoded_padded, packed_pos):
+            """Decoder-only: sort decoded symbols back to the candidate
+            grid (runtime/symbols.py)."""
+            dense = expand_from_pos(packed_pos, decoded_padded, n_cand)
+            return dense.reshape(1, yh // 2, yw // 2, ch_y)
 
         @jax.jit
         def synthesis(y_hat_so_far, qp):
@@ -212,7 +217,7 @@ class DMCICodec:
             "expand": expand,
             "synthesis": synthesis,
             "slice": slice_prog,
-            "dims": (ph, pw, yh, yw, zh, zw, n_sym),
+            "dims": (ph, pw, yh, yw, zh, zw, n_cand),
         }
         self._programs[key] = progs
         return progs
@@ -230,11 +235,11 @@ class DMCICodec:
         h = x.shape[1] if h is None else h
         w = x.shape[2] if w is None else w
         p = self._get_programs(h, w)
-        _, _, yh, yw, _, _, n_sym = p["dims"]
+        _, _, yh, yw, _, _, n_cand = p["dims"]
         qp_arr = jnp.int32(qp)
 
         y_scaled, z_int8 = p["analysis"](x, qp_arr)
-        means, ctx, packed_idx, count, cond = p["prior0"](z_int8)
+        means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, self.cfg.ch_y), jnp.float32)
         packed, counts = [], []
         for k in range(4):
@@ -244,7 +249,7 @@ class DMCICodec:
             counts.append(count)
             out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
-                y_hat, means, packed_idx, count, cond = out
+                y_hat, means, packed_idx, packed_pos, count, cond = out
             else:
                 y_hat = out
         x_hat = p["synthesis"](y_hat, qp_arr)
@@ -256,7 +261,7 @@ class DMCICodec:
         for k in range(4):
             c = int(counts_np[k])
             bufs.append(None if c == 0
-                        else p["slice"](_round_bucket(c, n_sym))(packed[k]))
+                        else p["slice"](_round_bucket(c, n_cand))(packed[k]))
         for b in bufs:
             if b is not None:
                 b.copy_to_host_async()
@@ -286,7 +291,7 @@ class DMCICodec:
         """Returns dict(x_hat) with x_hat (1, h, w, 3) f32 in [-0.5, 0.5]."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         p = self._get_programs(h, w)
-        ph, pw, yh, yw, zh, zw, n_sym = p["dims"]
+        ph, pw, yh, yw, zh, zw, n_cand = p["dims"]
         ch_z, ch_y = self.cfg.ch_z, self.cfg.ch_y
         qp_arr = jnp.int32(qp)
 
@@ -296,25 +301,25 @@ class DMCICodec:
         self.decoder.decode_z(z_num, int(qp) * ch_z, ch_z)
         z_int8 = jnp.asarray(self.decoder.get_decoded().reshape(1, zh, zw, ch_z))
 
-        means, ctx, packed_idx, count, cond = p["prior0"](z_int8)
+        means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
 
         for k in range(4):
             c = int(count)
             if c > 0:
-                bucket = _round_bucket(c, n_sym)
+                bucket = _round_bucket(c, n_cand)
                 idx_np = np.asarray(p["slice"](bucket)(packed_idx))[:c]
                 self.decoder.decode_y(idx_np)
                 decoded = self.decoder.get_decoded()
                 pad = np.zeros(bucket, np.int8)
                 pad[:c] = decoded
             else:
-                bucket = BUCKET
+                bucket = min(BUCKET, n_cand)
                 pad = np.zeros(bucket, np.int8)
-            y_q = p["expand"](jnp.asarray(pad), cond)
+            y_q = p["expand"](jnp.asarray(pad), packed_pos)
             out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
-                y_hat, means, packed_idx, count, cond = out
+                y_hat, means, packed_idx, packed_pos, count, cond = out
             else:
                 y_hat = out
 

@@ -10,9 +10,11 @@ the LITERALLY SAME compiled executables for every tensor that influences
 symbol decisions or reconstruction — the temporal adaptor, the fused
 prior, each ladder rung's means accumulation + next prior, and synthesis.
 Only exact integer tensors (z int8, y_q int8) cross program boundaries.
-XLA producer-consumer fusion otherwise perturbs bf16 convs between a
-fused encoder program and the decoder's laddered programs, flipping
-skip/index decisions near thresholds.
+
+Symbol-path architecture: quantization/entropy bookkeeping runs in the
+packed "candidate domain" of each mask step (core/masks.py phase terms)
+with sort-based compaction/expansion (runtime/symbols.py) instead of
+scatter/gather, which are slow on TPU.
 
 Program graphs:
   * means-only variants (HTS / LD) keep the reference's single-entropy-
@@ -31,14 +33,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.masks import make_mask_2x, make_mask_4x
+from ..core.masks import (phase_terms_2x, phase_terms_4x, phase_split,
+                          phase_merge)
 from ..core.padding import get_padding_size
 from ..core.shuffle import pixel_unshuffle
 from ..entropy.bit_estimator import BitEstimator
 from ..entropy.gaussian import GaussianConditional, scale_to_index
-from ..models import common as mcommon
 from .. import rans
-from .image_codec import BUCKET, _round_bucket, compact_device, expand_device
+from .image_codec import BUCKET, _round_bucket
+from .symbols import (compact_idx, compact_vals, expand_from_pos,
+                      quantize_candidate)
 
 
 class VideoCodecBase:
@@ -103,12 +107,13 @@ class VideoCodecBase:
         yh, yw = ph // 16, pw // 16
         zh, zw = ph // 64, pw // 64
         ch_y = cfg.ch_y
-        n_sym = yh * yw * ch_y
         steps = self.steps
         if steps == 4:
-            masks = make_mask_4x(yh, yw, ch_y)
+            terms = phase_terms_4x(ch_y)
+            n_cand = (yh // 2) * (yw // 2) * ch_y
         else:
-            masks = make_mask_2x(yh, yw, ch_y)
+            terms = phase_terms_2x(ch_y)
+            n_cand = (yh // 2) * (yw // 2) * 2 * ch_y
         model = self.model
         variables = {"params": self.params}
         skip = self.skip_thres
@@ -137,10 +142,12 @@ class VideoCodecBase:
                 raise AssertionError("means-only path got scales+means")
             return out
 
-        def _build_idx(scales, mask):
-            s_hat = jnp.where(mask, scales, 0).astype(jnp.float32)
-            idx = scale_to_index(s_hat).astype(jnp.uint8).reshape(-1)
-            cond = (s_hat > skip).reshape(-1)
+        def _build_idx(scales, step):
+            """Candidate-domain indexes + conditions for mask `step`."""
+            sc = phase_split(scales, terms[step]).astype(jnp.float32)
+            flat = sc.reshape(-1)
+            idx = scale_to_index(flat).astype(jnp.uint8)
+            cond = flat > skip
             return idx, cond
 
         def _state_update(feature, reset):
@@ -179,30 +186,31 @@ class VideoCodecBase:
             if single_pass:
                 idxs, conds = [], []
                 for k in range(steps):
-                    idx, cond = _build_idx(scales, masks[k])
+                    idx, cond = _build_idx(scales, k)
                     idxs.append(idx)
                     conds.append(cond)
                 cond_all = jnp.concatenate(conds)
-                packed_idx, count = compact_device(
+                packed_idx, packed_pos, count = compact_idx(
                     jnp.concatenate(idxs), cond_all)
-                return (q_enc, q_dec, means, spctx, packed_idx, count,
-                        cond_all)
-            idx, cond = _build_idx(scales, masks[0])
-            packed_idx, count = compact_device(idx, cond)
-            return q_enc, q_dec, means, spctx, packed_idx, count, cond
+                return (q_enc, q_dec, means, spctx, packed_idx, packed_pos,
+                        count, cond_all)
+            idx, cond = _build_idx(scales, 0)
+            packed_idx, packed_pos, count = compact_idx(idx, cond)
+            return (q_enc, q_dec, means, spctx, packed_idx, packed_pos,
+                    count, cond)
 
         def _enc_quant_single(step):
-            """Encoder-only (single-pass): per-step integer quantization;
-            cond comes from the shared prior program's concatenated cond."""
-            mask = masks[step]
-            lo, hi = step * n_sym, (step + 1) * n_sym
+            """Encoder-only (single-pass): per-step candidate-domain
+            quantization; cond comes from the shared prior program."""
+            lo, hi = step * n_cand, (step + 1) * n_cand
 
             @jax.jit
             def fn(y, q_enc, means, cond_all):
-                y_scaled = y * q_enc.astype(jnp.float32)
+                y_c = phase_split(y * q_enc.astype(jnp.float32),
+                                  terms[step])
+                m_c = phase_split(means, terms[step]).astype(jnp.float32)
                 cond_k = jax.lax.slice(cond_all, (lo,), (hi,))
-                return mcommon.quantize_with_cond(y_scaled, means, mask,
-                                                  cond_k)
+                return quantize_candidate(y_c, m_c, cond_k)
             return fn
 
         @jax.jit
@@ -211,34 +219,39 @@ class VideoCodecBase:
             buffer in step order — one encode_y <-> one decode_y."""
             yq = jnp.concatenate([q.astype(jnp.int16).reshape(-1)
                                   for q in y_qs])
-            packed_q, _ = compact_device(yq, cond_all)
+            packed_q = compact_vals(yq, cond_all)
             return (packed_q << 8) | (packed_idx.astype(jnp.int16) & 0xFF)
 
         def _enc_quant_ladder(step):
             """Encoder-only (ladder): quantize + per-step combined buffer."""
-            mask = masks[step]
-
             @jax.jit
             def fn(y, q_enc, means, cond, packed_idx):
-                y_scaled = y * q_enc.astype(jnp.float32)
-                y_q = mcommon.quantize_with_cond(y_scaled, means, mask, cond)
-                packed_q, _ = compact_device(
+                y_c = phase_split(y * q_enc.astype(jnp.float32),
+                                  terms[step])
+                m_c = phase_split(means, terms[step]).astype(jnp.float32)
+                y_q = quantize_candidate(y_c, m_c, cond)
+                packed_q = compact_vals(
                     y_q.astype(jnp.int16).reshape(-1), cond)
                 combined = (packed_q << 8) | (packed_idx.astype(jnp.int16)
                                               & 0xFF)
                 return combined, y_q
             return fn
 
+        def _cand_shape():
+            if steps == 4:
+                return (1, yh // 2, yw // 2, ch_y)
+            return (1, yh // 2, yw // 2, 2 * ch_y)
+
         def _step_single(step):
-            """SHARED enc+dec (means-only): accumulate + next means."""
-            mask = masks[step]
+            """SHARED enc+dec (means-only): merge + next means."""
             last = step == steps - 1
 
             @jax.jit
             def fn(y_q_int8, means, y_hat_so_far, spctx):
-                y_q = y_q_int8.astype(jnp.float32)
-                means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
-                y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                m_c = phase_split(means, terms[step]).astype(jnp.float32)
+                contrib = y_q_int8.astype(jnp.float32) + m_c
+                y_hat_so_far = y_hat_so_far + phase_merge(
+                    contrib, terms[step], ch_y)
                 if last:
                     return y_hat_so_far
                 means_next = _step_prior_means(step, spctx, y_hat_so_far)
@@ -246,38 +259,39 @@ class VideoCodecBase:
             return fn
 
         def _step_ladder(step):
-            """SHARED enc+dec (scales+means): accumulate + next prior +
-            next compacted indexes."""
-            mask = masks[step]
+            """SHARED enc+dec (scales+means): merge + next prior + next
+            compacted indexes."""
             last = step == steps - 1
 
             @jax.jit
             def fn(y_q_int8, means, y_hat_so_far, spctx):
-                y_q = y_q_int8.astype(jnp.float32)
-                means_hat = jnp.where(mask, means, 0).astype(jnp.float32)
-                y_hat_so_far = y_hat_so_far + (y_q + means_hat)
+                m_c = phase_split(means, terms[step]).astype(jnp.float32)
+                contrib = y_q_int8.astype(jnp.float32) + m_c
+                y_hat_so_far = y_hat_so_far + phase_merge(
+                    contrib, terms[step], ch_y)
                 if last:
                     return y_hat_so_far
                 scales, means_next = _prior_step(spctx, y_hat_so_far,
                                                  step + 1)
-                idx, cond_next = _build_idx(scales, masks[step + 1])
-                packed_idx, count = compact_device(idx, cond_next)
-                return (y_hat_so_far, means_next, packed_idx, count,
-                        cond_next)
+                idx, cond_next = _build_idx(scales, step + 1)
+                packed_idx, packed_pos, count = compact_idx(idx, cond_next)
+                return (y_hat_so_far, means_next, packed_idx, packed_pos,
+                        count, cond_next)
             return fn
 
         @jax.jit
-        def expand_all(decoded_padded, cond_all):
-            """Decoder-only (single-pass): scatter ALL steps' symbols."""
-            y_q = expand_device(decoded_padded, cond_all)
-            return tuple(q.reshape(1, yh, yw, ch_y)
-                         for q in jnp.split(y_q, steps))
+        def expand_all(decoded_padded, packed_pos):
+            """Decoder-only (single-pass): sort ALL steps' symbols back."""
+            dense = expand_from_pos(packed_pos, decoded_padded,
+                                    steps * n_cand)
+            return tuple(q.reshape(_cand_shape())
+                         for q in jnp.split(dense, steps))
 
         @jax.jit
-        def expand(decoded_padded, cond):
-            """Decoder-only (ladder): scatter one step's symbols."""
-            y_q = expand_device(decoded_padded, cond)
-            return y_q.reshape(1, yh, yw, ch_y)
+        def expand(decoded_padded, packed_pos):
+            """Decoder-only (ladder): sort one step's symbols back."""
+            dense = expand_from_pos(packed_pos, decoded_padded, n_cand)
+            return dense.reshape(_cand_shape())
 
         def _final(reset):
             """SHARED enc+dec: q_dec scale + synthesis + DPB update."""
@@ -302,7 +316,7 @@ class VideoCodecBase:
             "step": [step_fn(k) for k in range(steps)],
             "final": {r: _final(r) for r in (False, True)},
             "slice": slice_prog,
-            "dims": (ph, pw, yh, yw, zh, zw, n_sym),
+            "dims": (ph, pw, yh, yw, zh, zw, n_cand),
         }
         if single_pass:
             progs["enc_quant"] = [_enc_quant_single(k) for k in range(steps)]
@@ -335,7 +349,7 @@ class VideoCodecBase:
         h = x.shape[1] if h is None else h
         w = x.shape[2] if w is None else w
         p = self._get_programs(h, w)
-        _, _, yh, yw, _, _, n_sym = p["dims"]
+        _, _, yh, yw, _, _, n_cand = p["dims"]
         reset = bool(reset_feature_memory)
         qp_arr = jnp.int32(qp)
 
@@ -346,8 +360,8 @@ class VideoCodecBase:
         y_hat = jnp.zeros((1, yh, yw, self.cfg.ch_y), jnp.float32)
 
         if self.single_pass:
-            (q_enc, q_dec, means, spctx, packed_idx, count, cond_all) = \
-                p["prior"](z_int8, mem, qp_arr)
+            (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
+             cond_all) = p["prior"](z_int8, mem, qp_arr)
             y_qs = []
             for k in range(self.steps):
                 y_q = p["enc_quant"][k](y, q_enc, means, cond_all)
@@ -360,8 +374,8 @@ class VideoCodecBase:
             sym = p["enc_finalize"](cond_all, packed_idx, *y_qs)
             counts = [count]
         else:
-            (q_enc, q_dec, means, spctx, packed_idx, count, cond) = \
-                p["prior"](z_int8, mem, qp_arr)
+            (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
+             cond) = p["prior"](z_int8, mem, qp_arr)
             sym, counts = [], []
             for k in range(self.steps):
                 combined, y_q = p["enc_quant"][k](y, q_enc, means, cond,
@@ -370,7 +384,8 @@ class VideoCodecBase:
                 counts.append(count)
                 out = p["step"][k](y_q, means, y_hat, spctx)
                 if k < self.steps - 1:
-                    y_hat, means, packed_idx, count, cond = out
+                    (y_hat, means, packed_idx, packed_pos, count,
+                     cond) = out
                 else:
                     y_hat = out
         x_hat, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
@@ -406,7 +421,7 @@ class VideoCodecBase:
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         p = self._get_programs(h, w)
-        ph, pw, yh, yw, zh, zw, n_sym = p["dims"]
+        ph, pw, yh, yw, zh, zw, n_cand = p["dims"]
         ch_z, ch_y = self.cfg.ch_z, self.cfg.ch_y
         qp_arr = jnp.int32(qp)
         reset = bool(reset_feature_memory)
@@ -423,19 +438,19 @@ class VideoCodecBase:
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
 
         if self.single_pass:
-            (q_enc, q_dec, means, spctx, packed_idx, count, cond_all) = \
-                p["prior"](z_int8, mem, qp_arr)
+            (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
+             cond_all) = p["prior"](z_int8, mem, qp_arr)
             c = int(count)
             if c > 0:
                 idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
                 self.decoder.decode_y(idx_np)
                 decoded = self.decoder.get_decoded()
-                bucket = _round_bucket(c, self.steps * n_sym)
+                bucket = _round_bucket(c, self.steps * n_cand)
                 pad = np.zeros(bucket, np.int8)
                 pad[:c] = decoded
             else:
-                pad = np.zeros(BUCKET, np.int8)
-            y_qs = p["expand_all"](jnp.asarray(pad), cond_all)
+                pad = np.zeros(min(BUCKET, self.steps * n_cand), np.int8)
+            y_qs = p["expand_all"](jnp.asarray(pad), packed_pos)
             for k in range(self.steps):
                 out = p["step"][k](y_qs[k], means, y_hat, spctx)
                 if k < self.steps - 1:
@@ -443,23 +458,24 @@ class VideoCodecBase:
                 else:
                     y_hat = out
         else:
-            (q_enc, q_dec, means, spctx, packed_idx, count, cond) = \
-                p["prior"](z_int8, mem, qp_arr)
+            (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
+             cond) = p["prior"](z_int8, mem, qp_arr)
             for k in range(self.steps):
                 c = int(count)
                 if c > 0:
                     idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
                     self.decoder.decode_y(idx_np)
                     decoded = self.decoder.get_decoded()
-                    bucket = _round_bucket(c, n_sym)
+                    bucket = _round_bucket(c, n_cand)
                     pad = np.zeros(bucket, np.int8)
                     pad[:c] = decoded
                 else:
-                    pad = np.zeros(BUCKET, np.int8)
-                y_q = p["expand"](jnp.asarray(pad), cond)
+                    pad = np.zeros(min(BUCKET, n_cand), np.int8)
+                y_q = p["expand"](jnp.asarray(pad), packed_pos)
                 out = p["step"][k](y_q, means, y_hat, spctx)
                 if k < self.steps - 1:
-                    y_hat, means, packed_idx, count, cond = out
+                    (y_hat, means, packed_idx, packed_pos, count,
+                     cond) = out
                 else:
                     y_hat = out
 
