@@ -104,10 +104,27 @@ def phase_terms_2x(c):
     return [t0, t1]
 
 
+def phase_unshuffle(x):
+    """Phase-major space-to-depth: (b, h, w, c) -> (b, h/2, w/2, 4c) with
+    output channel (yy*2 + xx)*c + ch.  Unlike stride-2 spatial slicing
+    (a full relayout per phase, ~13 ms at 1080p latent sizes), this is one
+    transpose XLA lowers efficiently, and each phase becomes a contiguous
+    lane-aligned channel slice."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 def phase_split(x, terms):
-    """(1, h, w, c) -> candidate (1, h/2, w/2, sum(hi-lo)) by strided
-    slicing each term's phase subgrid, concatenated in term order."""
-    parts = [x[:, yo::2, xo::2, lo:hi] for ((yo, xo), lo, hi) in terms]
+    """(1, h, w, c) -> candidate (1, h/2, w/2, sum(hi-lo)): each term's
+    phase subgrid, concatenated in term order.  Routed through ONE
+    phase-major unshuffle + channel slices; multiple splits of the same
+    tensor inside one jitted program share the unshuffle via CSE."""
+    c = x.shape[-1]
+    u = phase_unshuffle(x)
+    parts = [u[..., (yo * 2 + xo) * c + lo:(yo * 2 + xo) * c + hi]
+             for ((yo, xo), lo, hi) in terms]
     return jnp.concatenate(parts, axis=-1)
 
 

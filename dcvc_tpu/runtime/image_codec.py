@@ -39,15 +39,10 @@ from ..entropy.bit_estimator import BitEstimator
 from ..entropy.gaussian import GaussianConditional, scale_to_index
 from ..models.dmci import DMCI, DMCIConfig
 from .. import rans
+from .fetch import BUCKET, CodedFetcher, round_bucket as _round_bucket, \
+    start_copies
 from .symbols import (compact_idx, compact_vals, expand_from_pos,
                       quantize_candidate)
-
-# transfer bucket granularity for sliced symbol fetches (elements)
-BUCKET = 1 << 16
-
-
-def _round_bucket(n, cap):
-    return min(cap, ((max(n, 1) + BUCKET - 1) // BUCKET) * BUCKET)
 
 
 def compact_device(values, cond):
@@ -91,6 +86,7 @@ class DMCICodec:
             coder.set_cdf(y_cdf, y_len, 1)
 
         self._programs = {}
+        self._fetcher = CodedFetcher()
 
     @classmethod
     def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16, **kwargs):
@@ -239,14 +235,20 @@ class DMCICodec:
         qp_arr = jnp.int32(qp)
 
         y_scaled, z_int8 = p["analysis"](x, qp_arr)
+        start_copies(z_int8)
         means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, self.cfg.ch_y), jnp.float32)
-        packed, counts = [], []
+        packed, counts, handles = [], [], []
         for k in range(4):
             combined, y_q = p["enc_quant"][k](y_scaled, means, cond,
                                               packed_idx)
             packed.append(combined)
             counts.append(count)
+            # start D2H of this step's count + predicted-bucket payload
+            # now, so transfers hide behind the remaining device ladder
+            start_copies(count)
+            handles.append(self._fetcher.start(p["slice"], combined,
+                                               ("enc", h, w, k)))
             out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
                 y_hat, means, packed_idx, packed_pos, count, cond = out
@@ -254,22 +256,12 @@ class DMCICodec:
                 y_hat = out
         x_hat = p["synthesis"](y_hat, qp_arr)
 
-        counts_np, z_np = jax.device_get((counts, z_int8))
+        counts_np = [int(c) for c in counts]
+        coded = [self._fetcher.finish(p["slice"], handles[k], counts_np[k])
+                 for k in range(4)]
+        z_np = np.asarray(z_int8)
 
-        # fetch only coded symbols (bucket-rounded slices, overlapped)
-        bufs = []
-        for k in range(4):
-            c = int(counts_np[k])
-            bufs.append(None if c == 0
-                        else p["slice"](_round_bucket(c, n_cand))(packed[k]))
-        for b in bufs:
-            if b is not None:
-                b.copy_to_host_async()
-        coded = [np.empty(0, np.int16) if b is None
-                 else np.asarray(b)[:int(counts_np[k])]
-                 for k, b in enumerate(bufs)]
-
-        total = int(sum(int(c) for c in counts_np))
+        total = sum(counts_np)
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
@@ -304,22 +296,28 @@ class DMCICodec:
         means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
 
+        start_copies(count)
+        handle = self._fetcher.start(p["slice"], packed_idx,
+                                     ("dec", h, w, 0))
         for k in range(4):
             c = int(count)
+            idx_np = self._fetcher.finish(p["slice"], handle, c, np.uint8)
             if c > 0:
-                bucket = _round_bucket(c, n_cand)
-                idx_np = np.asarray(p["slice"](bucket)(packed_idx))[:c]
                 self.decoder.decode_y(idx_np)
                 decoded = self.decoder.get_decoded()
-                pad = np.zeros(bucket, np.int8)
+                pad = np.zeros(_round_bucket(c, n_cand), np.int8)
                 pad[:c] = decoded
             else:
-                bucket = min(BUCKET, n_cand)
-                pad = np.zeros(bucket, np.int8)
+                pad = np.zeros(min(BUCKET, n_cand), np.int8)
             y_q = p["expand"](jnp.asarray(pad), packed_pos)
             out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
                 y_hat, means, packed_idx, packed_pos, count, cond = out
+                # next step's count/indexes start their D2H now, hiding
+                # behind this step's host rANS + device accumulate
+                start_copies(count)
+                handle = self._fetcher.start(p["slice"], packed_idx,
+                                             ("dec", h, w, k + 1))
             else:
                 y_hat = out
 

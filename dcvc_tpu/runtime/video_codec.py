@@ -40,7 +40,8 @@ from ..core.shuffle import pixel_unshuffle
 from ..entropy.bit_estimator import BitEstimator
 from ..entropy.gaussian import GaussianConditional, scale_to_index
 from .. import rans
-from .image_codec import BUCKET, _round_bucket
+from .fetch import BUCKET, CodedFetcher, round_bucket as _round_bucket, \
+    start_copies
 from .symbols import (compact_idx, compact_vals, expand_from_pos,
                       quantize_candidate)
 
@@ -75,6 +76,7 @@ class VideoCodecBase:
             coder.set_cdf(y_cdf, y_len, 1)
 
         self._programs = {}
+        self._fetcher = CodedFetcher()
         self.clear_dpb()
 
     # --------------------------------------------------------- DPB state
@@ -328,15 +330,6 @@ class VideoCodecBase:
         self._programs[key] = progs
         return progs
 
-    # ----------------------------------------------------------- helpers
-
-    def _fetch_coded(self, p, packed, count, dtype=np.int16):
-        c = int(count)
-        if c == 0:
-            return np.empty(0, dtype)
-        bucket = _round_bucket(c, packed.shape[0])
-        return np.asarray(p["slice"](bucket)(packed))[:c]
-
     # ------------------------------------------------------------ encode
 
     def compress(self, x, qp, reset_feature_memory=False, h=None, w=None):
@@ -359,9 +352,11 @@ class VideoCodecBase:
         y, z_int8 = p["enc_analysis"](x, ctx, qp_arr)
         y_hat = jnp.zeros((1, yh, yw, self.cfg.ch_y), jnp.float32)
 
+        start_copies(z_int8)
         if self.single_pass:
             (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
              cond_all) = p["prior"](z_int8, mem, qp_arr)
+            start_copies(count)
             y_qs = []
             for k in range(self.steps):
                 y_q = p["enc_quant"][k](y, q_enc, means, cond_all)
@@ -372,16 +367,20 @@ class VideoCodecBase:
                 else:
                     y_hat = out
             sym = p["enc_finalize"](cond_all, packed_idx, *y_qs)
+            handles = [self._fetcher.start(p["slice"], sym, ("enc", h, w))]
             counts = [count]
         else:
             (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
              cond) = p["prior"](z_int8, mem, qp_arr)
-            sym, counts = [], []
+            sym, counts, handles = [], [], []
             for k in range(self.steps):
                 combined, y_q = p["enc_quant"][k](y, q_enc, means, cond,
                                                   packed_idx)
                 sym.append(combined)
                 counts.append(count)
+                start_copies(count)
+                handles.append(self._fetcher.start(p["slice"], combined,
+                                                   ("enc", h, w, k)))
                 out = p["step"][k](y_q, means, y_hat, spctx)
                 if k < self.steps - 1:
                     (y_hat, means, packed_idx, packed_pos, count,
@@ -392,18 +391,20 @@ class VideoCodecBase:
         self.ref_feature = new_ref
         self.memory = None if reset else mem
 
-        counts_np, z_np = jax.device_get((counts, z_int8))
-        total = int(sum(int(c) for c in counts_np))
+        counts_np = [int(c) for c in counts]
+        total = sum(counts_np)
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
         if self.single_pass:
-            coded = self._fetch_coded(p, sym, total)
+            coded = self._fetcher.finish(p["slice"], handles[0], total)
             self.encoder.encode_y(coded)
         else:
             for k in range(self.steps - 1, -1, -1):
-                coded = self._fetch_coded(p, sym[k], counts_np[k])
+                coded = self._fetcher.finish(p["slice"], handles[k],
+                                             counts_np[k])
                 self.encoder.encode_y(coded)
+        z_np = np.asarray(z_int8)
         ch_z = self.cfg.ch_z
         self.encoder.encode_z(z_np.reshape(-1), int(qp) * ch_z, ch_z)
         self.encoder.flush()
@@ -440,13 +441,16 @@ class VideoCodecBase:
         if self.single_pass:
             (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
              cond_all) = p["prior"](z_int8, mem, qp_arr)
+            start_copies(count)
+            handle = self._fetcher.start(p["slice"], packed_idx,
+                                         ("dec", h, w))
             c = int(count)
+            idx_np = self._fetcher.finish(p["slice"], handle, c, np.uint8)
             if c > 0:
-                idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
                 self.decoder.decode_y(idx_np)
                 decoded = self.decoder.get_decoded()
-                bucket = _round_bucket(c, self.steps * n_cand)
-                pad = np.zeros(bucket, np.int8)
+                pad = np.zeros(_round_bucket(c, self.steps * n_cand),
+                               np.int8)
                 pad[:c] = decoded
             else:
                 pad = np.zeros(min(BUCKET, self.steps * n_cand), np.int8)
@@ -460,14 +464,17 @@ class VideoCodecBase:
         else:
             (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
              cond) = p["prior"](z_int8, mem, qp_arr)
+            start_copies(count)
+            handle = self._fetcher.start(p["slice"], packed_idx,
+                                         ("dec", h, w, 0))
             for k in range(self.steps):
                 c = int(count)
+                idx_np = self._fetcher.finish(p["slice"], handle, c,
+                                              np.uint8)
                 if c > 0:
-                    idx_np = self._fetch_coded(p, packed_idx, c, np.uint8)
                     self.decoder.decode_y(idx_np)
                     decoded = self.decoder.get_decoded()
-                    bucket = _round_bucket(c, n_cand)
-                    pad = np.zeros(bucket, np.int8)
+                    pad = np.zeros(_round_bucket(c, n_cand), np.int8)
                     pad[:c] = decoded
                 else:
                     pad = np.zeros(min(BUCKET, n_cand), np.int8)
@@ -476,6 +483,9 @@ class VideoCodecBase:
                 if k < self.steps - 1:
                     (y_hat, means, packed_idx, packed_pos, count,
                      cond) = out
+                    start_copies(count)
+                    handle = self._fetcher.start(p["slice"], packed_idx,
+                                                 ("dec", h, w, k + 1))
                 else:
                     y_hat = out
 
