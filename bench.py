@@ -52,6 +52,10 @@ def main():
 
     eq_check = jax.jit(lambda a, b: jnp.all(a == b))
     chunk_j = jnp.asarray(chunk)
+    # bit-exactness gate: the encoder's feature-domain DPB must equal the
+    # decoder's bit-for-bit (it is the state that propagates to the next
+    # chunk; the encoder does not reconstruct frames, matching the
+    # reference compress: video_model_ht.py:436-441)
     # the DPB seed is the intra codec's reconstruction, which is
     # device-resident in the real pipeline (and the reference protocol
     # brackets exclude source upload, test_video.py:194-219)
@@ -64,8 +68,9 @@ def main():
         codec.add_ref_feature_from_frame(intra)
         t0 = time.perf_counter()
         res = codec.compress(chunk_j, qp)
-        jax.block_until_ready(res["x_hat"])
+        jax.block_until_ready(codec.ref_feature)
         t1 = time.perf_counter()
+        enc_ref = codec.ref_feature
 
         codec.clear_dpb()
         codec.add_ref_feature_from_frame(intra)
@@ -81,7 +86,7 @@ def main():
         print(f"# iter {i}: chunk enc {(t1-t0)*1000:.0f} ms "
               f"dec {(t3-t2)*1000:.0f} ms stream {len(res['bit_stream'])} B",
               file=sys.stderr, flush=True)
-        if not bool(eq_check(res["x_hat"], out["x_hat"])):
+        if not bool(eq_check(enc_ref, codec.ref_feature)):
             print(json.dumps({"metric": "dmc_hts_1080p_encdec_fps",
                               "value": 0.0, "unit": "fps",
                               "vs_baseline": 0.0,

@@ -223,7 +223,10 @@ def run_one_point_with_stream(p_codec, i_codec, frame_delay, args):
             out = p_codec.decompress(bit_stream, qp, sps["height"],
                                      sps["width"], ec_part,
                                      reset_feature_memory)
-            frames_out = np.asarray(out["x_hat"])  # (F, H, W, 3)
+            frames_out = np.asarray(out["x_hat"])  # (F, H, W, 3) or packed
+            if frames_out.ndim == 3:  # (F, H, W*3) packed rows -> view
+                frames_out = frames_out.reshape(frames_out.shape[0],
+                                                frames_out.shape[1], -1, 3)
         decoding_time.append(time.time() - t0)
 
         maximum_read = 1 if is_intra else min(frame_delay, frame_num - decoded)

@@ -220,16 +220,22 @@ class DMCRT(nn.Module):
         scales, means = jnp.split(out, 2, axis=-1)
         return scales, means
 
-    def synthesis(self, y_hat, ctx_unused, qp, out_h, out_w):
-        # ctx passes through the runtime from the adaptor: here it is the
-        # adapted feature; recompute the decoder context from it
+    def synthesis_feature(self, y_hat, ctx_unused, qp):
+        """Decoder feature only (the DPB state; encode stops here).
+        ctx passes through the runtime from the adaptor: here it is the
+        adapted feature; recompute the decoder context from it."""
         ctx, _ = self.feature_extractor(ctx_unused,
                                         self._q(self.q_feature, qp))
-        feature = self.decoder(y_hat.astype(self.dtype), ctx,
-                               self._q(self.q_decoder, qp))
+        return self.decoder(y_hat.astype(self.dtype), ctx,
+                            self._q(self.q_decoder, qp))
+
+    def recon_frames(self, feature, qp, out_h, out_w):
         x_hat = self.recon_generation_net(feature, self._q(self.q_recon, qp))
-        x_hat = x_hat.astype(jnp.float32)[:, :out_h, :out_w, :]
-        return x_hat, feature
+        return x_hat.astype(jnp.float32)[:, :out_h, :out_w, :]
+
+    def synthesis(self, y_hat, ctx_unused, qp, out_h, out_w):
+        feature = self.synthesis_feature(y_hat, ctx_unused, qp)
+        return self.recon_frames(feature, qp, out_h, out_w), feature
 
     # ------------------------------------------------------ training path
 

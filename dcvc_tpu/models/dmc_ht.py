@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..core.shuffle import pixel_shuffle, pixel_unshuffle
 from ..layers.blocks import (
     Conv1x1, Conv3x3, DepthConvBlock, ResidualBlockUpsample,
-    ResidualBlockWithStride2, SubpelConv2x,
+    ResidualBlockWithStride2, StackedDCB, SubpelConv2x,
 )
 from . import common
 
@@ -219,45 +219,59 @@ class HTSpatialPrior(nn.Module):
 
 
 class HTReconHead(nn.Module):
-    """8 frame-specific decoders; HTS shares 4 trunks across frame pairs
-    (video_model_ht.py:215-275)."""
+    """8 frame-specific decoders evaluated as STACKED batched DCB chains
+    (reference runs them sequentially, video_model_ht.py:215-275); HTS
+    shares 4 trunks across frame pairs.
+
+    Returns the stacked pre-shuffle head outputs (F, B, h, w, 192); the
+    caller pixel-shuffles.  The reset path re-seeds the DPB with the last
+    frame's head output (video_model_ht.py:406-411)."""
     cfg: DMCHTConfig
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         c = self.cfg
+        fd = c.frame_delay
         if c.is_hts:
-            self.conv1 = [
-                nn.Sequential([DepthConvBlock(c.ch_d, c.ch_d, dtype=self.dtype)
-                               for _ in range(c.recon_shared_depth)])
-                for _ in range(c.frame_delay // 2)]
-        heads = []
-        for _ in range(c.frame_delay):
-            layers = [DepthConvBlock(c.ch_d, c.ch_recon, dtype=self.dtype)]
-            layers += [DepthConvBlock(c.ch_recon, c.ch_recon, dtype=self.dtype)
-                       for _ in range(c.recon_depth - 1)]
-            layers += [Conv1x1(c.ch_src_intra, dtype=self.dtype)]
-            heads.append(nn.Sequential(layers))
-        self.conv2 = heads
+            self.trunk = [StackedDCB(fd // 2, c.ch_d, c.ch_d,
+                                     dtype=self.dtype)
+                          for _ in range(c.recon_shared_depth)]
+        heads = [StackedDCB(fd, c.ch_d, c.ch_recon, dtype=self.dtype)]
+        heads += [StackedDCB(fd, c.ch_recon, c.ch_recon, dtype=self.dtype)
+                  for _ in range(c.recon_depth - 1)]
+        self.heads = heads
+        winit = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1,
+            batch_axis=(0,))
+        self.out_w = self.param("out_w", winit,
+                                (fd, c.ch_recon, c.ch_src_intra),
+                                jnp.float32)
+        self.out_b = self.param("out_b", nn.initializers.zeros,
+                                (fd, c.ch_src_intra), jnp.float32)
 
     def __call__(self, x, for_reset=False):
         c = self.cfg
+        fd = c.frame_delay
+        dt = self.dtype
+        x = x.astype(dt)
+        if c.is_hts:
+            xt = jnp.broadcast_to(x[None], (fd // 2,) + x.shape)
+            for blk in self.trunk:
+                xt = blk(xt)
+            xh = jnp.repeat(xt, 2, axis=0)
+        else:
+            xh = jnp.broadcast_to(x[None], (fd,) + x.shape)
+        for blk in self.heads:
+            xh = blk(xh)
+        out = jnp.stack([
+            jax.lax.dot_general(xh[s], self.out_w[s].astype(dt),
+                                (((3,), (0,)), ((), ())),
+                                preferred_element_type=dt)
+            + self.out_b[s].astype(dt)
+            for s in range(fd)])
         if for_reset:
-            # reset path: last frame's decoder without pixel shuffle -> a
-            # frame-like 192ch feature that re-seeds the DPB
-            out = self.conv1[-1](x) if c.is_hts else x
-            return self.conv2[-1](out)
-        all_out = []
-        common_feat = None
-        for i in range(c.frame_delay):
-            if c.is_hts:
-                if i % 2 == 0:
-                    common_feat = self.conv1[i // 2](x)
-                out = self.conv2[i](common_feat)
-            else:
-                out = self.conv2[i](x)
-            all_out.append(pixel_shuffle(out, 8))
-        return all_out
+            return out[-1]
+        return out
 
 
 class DMCHT(nn.Module):
@@ -353,16 +367,33 @@ class DMCHT(nn.Module):
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)), -128, 127).astype(jnp.int8)
         return y, z_int8
 
+    def synthesis_feature(self, y_hat, ctx, qp):
+        """Final y_hat (already *q_dec) -> decoder feature (the DPB state).
+        The encoder stops here: the reference encode path also keeps a
+        feature-domain DPB and never runs the recon heads
+        (video_model_ht.py:436-441 returns only bit_stream)."""
+        return self.decoder(y_hat.astype(self.dtype), ctx,
+                            self._q(self.q_decoder, qp))
+
+    def recon_frames(self, feature, qp, out_h, out_w):
+        """Decode-only: recon heads -> (F, out_h, out_w*3) packed-RGB
+        rows.
+
+        Packed layout: a (F, h, w, 3) output tiles the 3-wide minor dim
+        at ~2% lane utilization on TPU; merging (w, 3) keeps the minor
+        dim lane-wide.  Row-major bytes are identical, so the host
+        reshapes to (F, h, w, 3) as a free view."""
+        out = self.recon_head(feature)          # (F, 1, h8, w8, 192)
+        nf, _, h8, w8, _ = out.shape
+        x = out[:, 0].reshape(nf, h8, w8, 3, 8, 8)   # ch = c*64 + i*8 + j
+        x = x.transpose(0, 1, 4, 2, 5, 3)            # (F, h8, i, w8, j, c)
+        x = x.reshape(nf, h8 * 8, w8 * 8 * 3)
+        x = jnp.clip(x.astype(jnp.float32), -0.5, 0.5)
+        return x[:, :out_h, :out_w * 3]
+
     def synthesis(self, y_hat, ctx, qp, out_h, out_w):
-        """Final y_hat (already *q_dec) -> (frames (F, out_h, out_w, 3),
-        feature)."""
-        feature = self.decoder(y_hat.astype(self.dtype), ctx,
-                               self._q(self.q_decoder, qp))
-        frames = self.recon_head(feature)
-        frames = jnp.concatenate(
-            [jnp.clip(f.astype(jnp.float32), -0.5, 0.5)[:, :out_h, :out_w, :]
-             for f in frames], axis=0)
-        return frames, feature
+        feature = self.synthesis_feature(y_hat, ctx, qp)
+        return self.recon_frames(feature, qp, out_h, out_w), feature
 
     # ------------------------------------------------------ training path
 
@@ -411,7 +442,9 @@ class DMCHT(nn.Module):
                 spatial_prior_has_scales=True)
 
         feature = self.decoder(y_hat, ctx, self._q(self.q_decoder, qp))
-        x_hat_list = self.recon_head(feature)
+        head_out = self.recon_head(feature)     # (F, B, h, w, 192)
+        x_hat_list = [pixel_shuffle(head_out[i], 8)
+                      for i in range(c.frame_delay)]
 
         rng_y, rng_z = jax.random.split(rng)
         y_for_bit = common.add_noise(y_res, rng_y)

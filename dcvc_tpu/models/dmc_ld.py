@@ -204,12 +204,19 @@ class DMCLD(nn.Module):
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)), -128, 127).astype(jnp.int8)
         return y, z_int8
 
-    def synthesis(self, y_hat, ctx, qp, out_h, out_w):
-        feature = self.decoder(y_hat.astype(self.dtype), ctx,
-                               self._q(self.q_decoder, qp))
+    def synthesis_feature(self, y_hat, ctx, qp):
+        """Decoder feature only (the DPB state; encode stops here)."""
+        return self.decoder(y_hat.astype(self.dtype), ctx,
+                            self._q(self.q_decoder, qp))
+
+    def recon_frames(self, feature, qp, out_h, out_w):
         frame = self.recon_head(feature)
         frame = jnp.clip(frame.astype(jnp.float32), -0.5, 0.5)
-        return frame[:, :out_h, :out_w, :], feature
+        return frame[:, :out_h, :out_w, :]
+
+    def synthesis(self, y_hat, ctx, qp, out_h, out_w):
+        feature = self.synthesis_feature(y_hat, ctx, qp)
+        return self.recon_frames(feature, qp, out_h, out_w), feature
 
     # ------------------------------------------------------ training path
 

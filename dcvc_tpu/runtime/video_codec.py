@@ -296,14 +296,23 @@ class VideoCodecBase:
             return dense.reshape(_cand_shape())
 
         def _final(reset):
-            """SHARED enc+dec: q_dec scale + synthesis + DPB update."""
+            """SHARED enc+dec: q_dec scale + decoder trunk -> feature +
+            DPB update.  The recon heads are NOT here: the reference
+            encode also keeps a feature-domain DPB and never reconstructs
+            frames (video_model_ht.py:436-441)."""
             @jax.jit
             def fn(y_hat_so_far, q_dec, ctx, qp):
                 y_hat = y_hat_so_far * q_dec.astype(jnp.float32)
-                x_hat, feature = _apply(type(model).synthesis, y_hat, ctx,
-                                        qp, h, w)
-                return x_hat, _state_update(feature, reset)
+                feature = _apply(type(model).synthesis_feature, y_hat, ctx,
+                                 qp)
+                return feature, _state_update(feature, reset)
             return fn
+
+        @jax.jit
+        def recon(feature, qp):
+            """Decode-only (or encoder-on-request): recon heads ->
+            output frames."""
+            return _apply(type(model).recon_frames, feature, qp, h, w)
 
         @functools.lru_cache(maxsize=64)
         def slice_prog(bucket):
@@ -317,6 +326,7 @@ class VideoCodecBase:
             "prior": prior,
             "step": [step_fn(k) for k in range(steps)],
             "final": {r: _final(r) for r in (False, True)},
+            "recon": recon,
             "slice": slice_prog,
             "dims": (ph, pw, yh, yw, zh, zw, n_cand),
         }
@@ -332,10 +342,16 @@ class VideoCodecBase:
 
     # ------------------------------------------------------------ encode
 
-    def compress(self, x, qp, reset_feature_memory=False, h=None, w=None):
+    def compress(self, x, qp, reset_feature_memory=False, h=None, w=None,
+                 recon=False):
         """x: (1, H, W, 3*frame_delay) f32 in [-0.5, 0.5].
 
-        Returns dict(bit_stream, x_hat (F, H, W, 3), ec_parallel)."""
+        Returns dict(bit_stream, ec_parallel) — like the reference
+        compress (video_model_ht.py:436-441), the encoder keeps only the
+        feature-domain DPB and does not reconstruct frames.  Pass
+        recon=True to additionally get x_hat (runs the decode-side recon
+        program on the encoder's feature; bit-identical to the
+        decoder's)."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         x = jnp.asarray(x)
@@ -387,9 +403,10 @@ class VideoCodecBase:
                      cond) = out
                 else:
                     y_hat = out
-        x_hat, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
+        feature, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
         self.ref_feature = new_ref
         self.memory = None if reset else mem
+        x_hat = p["recon"](feature, qp_arr) if recon else None
 
         counts_np = [int(c) for c in counts]
         total = sum(counts_np)
@@ -489,10 +506,10 @@ class VideoCodecBase:
                 else:
                     y_hat = out
 
-        x_hat, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
+        feature, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
         self.ref_feature = new_ref
         self.memory = None if reset else mem
-        return {"x_hat": x_hat}
+        return {"x_hat": p["recon"](feature, qp_arr)}
 
 
 def _init_both_branches(model, x, ref_intra, ref_feat, memory, rng,

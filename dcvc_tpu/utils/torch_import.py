@@ -76,6 +76,41 @@ def _map_dmc_ht(out, s):
     return None
 
 
+_STACKED_SUB = {"adaptor": "adaptor", "dc_in": "dc.0", "dc_dw": "dc.2",
+                "dc_out": "dc.3", "ffn_in": "ffn.0", "ffn_out": "ffn.2"}
+
+
+def _stacked_leaf(name):
+    """'dc_in_w' -> ('dc.0', 'weight')."""
+    base, suffix = name.rsplit("_", 1)
+    return _STACKED_SUB[base], {"w": "weight", "b": "bias"}[suffix]
+
+
+def _recon_keys_ht(path, frame_delay=8, hts=True):
+    """Our recon head stores each per-frame decoder chain STACKED
+    (layers/blocks.py StackedDCB); one flax leaf gathers frame_delay (or
+    frame_delay/2 trunk) reference keys (video_model_ht.py:215-250)."""
+    seg = path[1]
+    coll = "conv2" if hts else "conv"
+    if seg in ("out_w", "out_b"):
+        # final per-head 1x1: last entry of the reference Sequential
+        idx = 3 if hts else 5
+        leaf = "weight" if seg.endswith("_w") else "bias"
+        return [f"recon_head.{coll}.{i}.{idx}.{leaf}"
+                for i in range(frame_delay)]
+    m = re.fullmatch(r"trunk_(\d+)", seg)
+    if m:
+        sub, leaf = _stacked_leaf(path[2])
+        return [f"recon_head.conv1.{i}.{m.group(1)}.{sub}.{leaf}"
+                for i in range(frame_delay // 2)]
+    m = re.fullmatch(r"heads_(\d+)", seg)
+    if m:
+        sub, leaf = _stacked_leaf(path[2])
+        return [f"recon_head.{coll}.{i}.{m.group(1)}.{sub}.{leaf}"
+                for i in range(frame_delay)]
+    raise KeyError(f"unrecognized stacked recon path {path}")
+
+
 _LD_SEQ_TOPS = {"feature_adaptor_i", "feature_adaptor_m", "feature_extractor",
                 "hyper_encoder", "hyper_decoder", "y_prior_fusion"}
 
@@ -97,7 +132,9 @@ def key_fn_dmci(path):
     return _translate(path, _map_dmci)
 
 
-def key_fn_dmc_ht(path):
+def key_fn_dmc_ht(path, frame_delay=8, hts=True):
+    if path[0] == "recon_head" and not path[1].startswith("conv"):
+        return _recon_keys_ht(path, frame_delay, hts)
     return _translate(path, _map_dmc_ht)
 
 
@@ -113,6 +150,10 @@ def _convert_leaf(torch_arr, flax_shape):
     arr = np.asarray(torch_arr)
     if arr.ndim == 4:  # conv kernel (O, I, kh, kw) -> (kh, kw, I, O)
         arr = arr.transpose(2, 3, 1, 0)
+    if arr.shape != tuple(flax_shape) and arr.size == int(np.prod(flax_shape)):
+        # stacked-DCB layouts: 1x1 (1, 1, I, O) -> (I, O); depthwise
+        # (k, k, 1, C) -> (k, k, C)
+        arr = arr.reshape(flax_shape)
     assert tuple(arr.shape) == tuple(flax_shape), \
         f"shape mismatch: torch {arr.shape} vs flax {flax_shape}"
     return arr.astype(np.float32)
@@ -128,6 +169,15 @@ def import_state_dict(state_dict, flax_params, key_fn=key_fn_dmci):
     def visit(path, leaf):
         segs = tuple(p.key for p in path)
         key = key_fn(segs)
+        if isinstance(key, (list, tuple)):  # stacked leaf: gather + stack
+            missing = [k for k in key if k not in state_dict]
+            if missing:
+                raise KeyError(
+                    f"reference keys {missing[:3]} (for stacked flax path "
+                    f"{'/'.join(segs)}) not found in state_dict")
+            used.update(key)
+            return np.stack([_convert_leaf(state_dict[k], leaf.shape[1:])
+                             for k in key])
         if key not in state_dict:
             raise KeyError(
                 f"reference key '{key}' (for flax path {'/'.join(segs)}) "

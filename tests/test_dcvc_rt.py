@@ -30,7 +30,7 @@ def test_rt_bitstream_roundtrip():
     codec.add_ref_feature_from_frame(intra)
     streams, recons = [], []
     for i in (1, 2):
-        res = codec.compress(frames[i], qp=3)
+        res = codec.compress(frames[i], qp=3, recon=True)
         streams.append((res["bit_stream"], res["ec_parallel"]))
         recons.append(np.asarray(res["x_hat"]))
 

@@ -59,7 +59,8 @@ def _roundtrip_chunks(codec, h, w, frames_per_unit, n_units, qp,
         chunk = np.concatenate(
             frames[u * frames_per_unit:(u + 1) * frames_per_unit], axis=-1)
         reset = (reset_at == u)
-        res = codec.compress(chunk, qp, reset_feature_memory=reset)
+        res = codec.compress(chunk, qp, reset_feature_memory=reset,
+                             recon=True)
         streams.append((res["bit_stream"], res["ec_parallel"], reset))
         enc_recons.append(np.asarray(res["x_hat"]))
 
@@ -78,7 +79,7 @@ def _roundtrip_chunks(codec, h, w, frames_per_unit, n_units, qp,
 class TestHTS:
     def test_two_chunk_roundtrip(self, hts_codec):
         recons = _roundtrip_chunks(hts_codec, 64, 64, 8, 2, qp=3)
-        assert recons[0].shape == (8, 64, 64, 3)
+        assert recons[0].shape == (8, 64, 64 * 3)  # packed-RGB rows
 
     def test_reset_path(self, hts_codec):
         _roundtrip_chunks(hts_codec, 64, 64, 8, 3, qp=5, reset_at=1)
@@ -87,7 +88,7 @@ class TestHTS:
 class TestHTL:
     def test_two_chunk_roundtrip(self, htl_codec):
         recons = _roundtrip_chunks(htl_codec, 64, 64, 8, 2, qp=2)
-        assert recons[0].shape == (8, 64, 64, 3)
+        assert recons[0].shape == (8, 64, 64 * 3)  # packed-RGB rows
 
 
 class TestLD:
