@@ -405,6 +405,124 @@ class DMCFM(nn.Module):
             y, None, None, params, lambda p: p,
             adaptors, spatial_prior, spatial_prior_has_scales=True)
 
+    # ----------------------------------------- inference stage methods
+    #
+    # Mirrors the reference compress/decompress split
+    # (DCVC-FM/src/models/video_model.py:396-500).  Stage granularity
+    # follows the UF runtimes: every tensor that influences symbol
+    # decisions (priors, means/scales, y_hat accumulation) is computed by
+    # programs SHARED between encoder and decoder; encoder-only stages
+    # emit integers.
+
+    def _pad4(self, y):
+        """Replicate-pad a /16 latent to a multiple of 4 (pad_for_y,
+        common_model.py:96-112)."""
+        h, w = y.shape[1], y.shape[2]
+        pb = (-h) % 4
+        pr = (-w) % 4
+        if pb or pr:
+            y = jnp.pad(y, ((0, 0), (0, pb), (0, pr), (0, 0)), mode="edge")
+        return y
+
+    def mv_analysis(self, x, ref_frame, ref_mv_feature, q_index):
+        """ENC-only: motion estimation + mv encoding + mv hyper.
+        ref_mv_feature None on the first P frame."""
+        mv_y_q_enc = get_curr_q(self.mv_y_q_enc, q_index,
+                                self.cfg.qp_num).astype(self.dtype)
+        est_mv = self.optic_flow(x.astype(self.dtype),
+                                 ref_frame.astype(self.dtype))
+        mv_y = self.mv_encoder(est_mv, ref_mv_feature, mv_y_q_enc)
+        mv_z = self.mv_hyper_prior_encoder(self._pad4(mv_y))
+        mv_z_int = jnp.clip(jnp.round(mv_z.astype(jnp.float32)),
+                            -30000, 30000).astype(jnp.int16)
+        return mv_y.astype(jnp.float32), mv_z_int
+
+    def mv_prior0(self, mv_z_int, ref_mv_y, yh, yw):
+        """SHARED: mv hyper decode + fusion -> q/scales/means + spatial
+        context (mv_prior_param_decoder, video_model.py:316-325)."""
+        p = self.mv_hyper_prior_decoder(mv_z_int.astype(self.dtype))
+        p = p[:, :yh, :yw, :]
+        if ref_mv_y is None:
+            p = self.mv_y_prior_fusion_adaptor_0(p)
+        else:
+            p = self.mv_y_prior_fusion_adaptor_1(
+                jnp.concatenate([p, ref_mv_y.astype(self.dtype)], axis=-1))
+        params = self.mv_y_prior_fusion(p)
+        q_enc, q_dec, scales, means = mcommon.separate_prior_video_infer(
+            params)
+        return q_enc, q_dec, scales, means, params
+
+    def mv_prior_step(self, spctx, y_hat_so_far, step):
+        adaptors = [self.mv_y_spatial_prior_adaptor_1,
+                    self.mv_y_spatial_prior_adaptor_2,
+                    self.mv_y_spatial_prior_adaptor_3]
+        sp_in = jnp.concatenate([y_hat_so_far.astype(self.dtype), spctx],
+                                axis=-1)
+        out = self.mv_y_spatial_prior(adaptors[step - 1](sp_in))
+        scales, means = jnp.split(out, 2, axis=-1)
+        return scales, means
+
+    def mv_synthesis(self, mv_y_hat, q_index):
+        """SHARED: mv decode -> (mv_hat, mv_feature)."""
+        mv_y_q_dec = get_curr_q(self.mv_y_q_dec, q_index,
+                                self.cfg.qp_num).astype(self.dtype)
+        return self.mv_decoder(mv_y_hat.astype(self.dtype), mv_y_q_dec)
+
+    def mc(self, ref_frame, ref_feature, fa_idx, mv_hat):
+        """SHARED: motion compensation -> (c1, c2, c3)."""
+        dpb = {"ref_frame": ref_frame, "ref_feature": ref_feature}
+        c1, c2, c3, _ = self.motion_compensation(dpb, mv_hat, fa_idx)
+        return c1, c2, c3
+
+    def ctx_analysis(self, x, c1, c2, c3, q_index):
+        """ENC-only: contextual encoding + hyper."""
+        y_q_enc = get_curr_q(self.y_q_enc, q_index,
+                             self.cfg.qp_num).astype(self.dtype)
+        y = self.contextual_encoder(x.astype(self.dtype), c1, c2, c3,
+                                    y_q_enc)
+        z = self.contextual_hyper_prior_encoder(self._pad4(y))
+        z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return y.astype(jnp.float32), z_int
+
+    def ctx_prior0(self, z_int, ref_y, c3, yh, yw):
+        """SHARED: contextual prior (contextual_prior_param_decoder,
+        video_model.py:327-340)."""
+        hierarchical = self.contextual_hyper_prior_decoder(
+            z_int.astype(self.dtype))
+        hierarchical = hierarchical[:, :yh, :yw, :]
+        temporal = self.temporal_prior_encoder(c3)
+        if ref_y is None:
+            p = self.y_prior_fusion_adaptor_0(
+                jnp.concatenate([temporal, hierarchical], axis=-1))
+        else:
+            p = self.y_prior_fusion_adaptor_1(
+                jnp.concatenate([temporal, hierarchical,
+                                 ref_y.astype(self.dtype)], axis=-1))
+        params = self.y_prior_fusion(p)
+        q_enc, q_dec, scales, means = mcommon.separate_prior_video_infer(
+            params)
+        return q_enc, q_dec, scales, means, params
+
+    def ctx_prior_step(self, spctx, y_hat_so_far, step):
+        adaptors = [self.y_spatial_prior_adaptor_1,
+                    self.y_spatial_prior_adaptor_2,
+                    self.y_spatial_prior_adaptor_3]
+        sp_in = jnp.concatenate([y_hat_so_far.astype(self.dtype), spctx],
+                                axis=-1)
+        out = self.y_spatial_prior(adaptors[step - 1](sp_in))
+        scales, means = jnp.split(out, 2, axis=-1)
+        return scales, means
+
+    def synthesis(self, y_hat, c1, c2, c3, q_index):
+        """SHARED: contextual decode + recon -> (x_hat, feature)."""
+        y_q_dec = get_curr_q(self.y_q_dec, q_index,
+                             self.cfg.qp_num).astype(self.dtype)
+        recon_feat = self.contextual_decoder(y_hat.astype(self.dtype),
+                                             c2, c3, y_q_dec)
+        feature, x_hat = self.recon_generation_net(recon_feat, c1)
+        return jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0), feature
+
     # ----------------------------------------------------------- forward
 
     def __call__(self, x, dpb, q_index, fa_idx, rng):

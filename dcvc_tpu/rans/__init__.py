@@ -56,6 +56,26 @@ def _load():
             [c.c_void_p, c.c_int, c.c_int, c.c_int], None),
         "dcvc_rans_decoder_get_decoded": (
             [c.c_void_p, c.c_void_p, c.c_int], c.c_int),
+        "dcvc_irans_encoder_new": ([], c.c_void_p),
+        "dcvc_irans_encoder_free": ([c.c_void_p], None),
+        "dcvc_irans_encoder_add_cdf": (
+            [c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_void_p,
+             c.c_void_p], c.c_int),
+        "dcvc_irans_encoder_reset": ([c.c_void_p], None),
+        "dcvc_irans_encoder_encode": (
+            [c.c_void_p, c.c_void_p, c.c_void_p, c.c_int, c.c_int], None),
+        "dcvc_irans_encoder_flush": ([c.c_void_p], None),
+        "dcvc_irans_encoder_get_stream": (
+            [c.c_void_p, c.c_void_p, c.c_int], c.c_int),
+        "dcvc_irans_decoder_new": ([], c.c_void_p),
+        "dcvc_irans_decoder_free": ([c.c_void_p], None),
+        "dcvc_irans_decoder_add_cdf": (
+            [c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_void_p,
+             c.c_void_p], c.c_int),
+        "dcvc_irans_decoder_set_stream": (
+            [c.c_void_p, c.c_void_p, c.c_int], None),
+        "dcvc_irans_decoder_decode": (
+            [c.c_void_p, c.c_void_p, c.c_int, c.c_int, c.c_void_p], None),
         "dcvc_compact_i16": (
             [c.c_void_p, c.c_void_p, c.c_int, c.c_void_p], c.c_int),
         "dcvc_compact_u8": (
@@ -164,6 +184,83 @@ class RansDecoder:
         n = self._n if n is None else int(n)
         out = np.empty(n, np.int8)
         _lib.dcvc_rans_decoder_get_decoded(self._h, _ptr(out), n)
+        return out
+
+
+class IndexedRansEncoder:
+    """Legacy-family entropy encoder (encode_with_indexes semantics,
+    reference DCVC-family/DCVC-FM/src/cpp/rans/rans.cpp): dense symbol
+    grids, per-symbol CDF row index, per-row offsets, bypass escapes.
+    CDF groups are registered with add_cdf and addressed by index."""
+
+    def __init__(self):
+        self._free = _lib.dcvc_irans_encoder_free
+        self._h = _lib.dcvc_irans_encoder_new()
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._free(h)
+
+    def add_cdf(self, cdfs, cdf_lengths, offsets):
+        cdfs = np.ascontiguousarray(cdfs, np.int32)
+        sizes = np.ascontiguousarray(cdf_lengths, np.int32).reshape(-1)
+        offsets = np.ascontiguousarray(offsets, np.int32).reshape(-1)
+        n, per = cdfs.shape
+        return _lib.dcvc_irans_encoder_add_cdf(
+            self._h, _ptr(cdfs), n, per, _ptr(sizes), _ptr(offsets))
+
+    def reset(self):
+        _lib.dcvc_irans_encoder_reset(self._h)
+
+    def encode_with_indexes(self, symbols, indexes, group):
+        symbols = np.ascontiguousarray(
+            np.clip(symbols, -30000, 30000), np.int16).reshape(-1)
+        indexes = np.ascontiguousarray(indexes, np.int16).reshape(-1)
+        assert symbols.size == indexes.size
+        _lib.dcvc_irans_encoder_encode(self._h, _ptr(symbols), _ptr(indexes),
+                                       symbols.size, int(group))
+
+    def flush(self):
+        _lib.dcvc_irans_encoder_flush(self._h)
+
+    def get_encoded_stream(self):
+        cap = 1 << 20
+        while True:
+            out = np.empty(cap, np.uint8)
+            size = _lib.dcvc_irans_encoder_get_stream(self._h, _ptr(out), cap)
+            if size <= cap:
+                return out[:size].tobytes()
+            cap = size
+
+
+class IndexedRansDecoder:
+    def __init__(self):
+        self._free = _lib.dcvc_irans_decoder_free
+        self._h = _lib.dcvc_irans_decoder_new()
+
+    def __del__(self):
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            self._free(h)
+
+    def add_cdf(self, cdfs, cdf_lengths, offsets):
+        cdfs = np.ascontiguousarray(cdfs, np.int32)
+        sizes = np.ascontiguousarray(cdf_lengths, np.int32).reshape(-1)
+        offsets = np.ascontiguousarray(offsets, np.int32).reshape(-1)
+        n, per = cdfs.shape
+        return _lib.dcvc_irans_decoder_add_cdf(
+            self._h, _ptr(cdfs), n, per, _ptr(sizes), _ptr(offsets))
+
+    def set_stream(self, data):
+        buf = np.frombuffer(bytes(data), np.uint8)
+        _lib.dcvc_irans_decoder_set_stream(self._h, _ptr(buf), buf.size)
+
+    def decode_stream(self, indexes, group):
+        indexes = np.ascontiguousarray(indexes, np.int16).reshape(-1)
+        out = np.empty(indexes.size, np.int16)
+        _lib.dcvc_irans_decoder_decode(self._h, _ptr(indexes), indexes.size,
+                                       int(group), _ptr(out))
         return out
 
 

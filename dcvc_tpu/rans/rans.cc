@@ -260,6 +260,79 @@ struct DecLane {
     }
 };
 
+// --------------------------------------------- indexed (legacy-family) mode
+//
+// The pre-UF family (DCVC/TCM/HEM/DC/FM/EVC) codes DENSE symbol grids with
+// a per-symbol CDF row index and per-row integer offsets (reference
+// DCVC-family/DCVC-FM/src/cpp/rans/rans.cpp encode_with_indexes):
+// value = symbol - offset[idx]; negative values fold to -2v-1 and
+// overflows to 2*(v-max), both escaping into the 2-bit bypass mode.  One
+// stream (stream_part = 1); the encoder stages symbols and flushes LIFO.
+
+struct IdxCdfGroup {
+    std::vector<std::vector<int32_t>> rows;       // raw CDF rows
+    std::vector<std::vector<CdfEntry>> sym;       // per-symbol (start, range)
+    std::vector<int32_t> sizes;
+    std::vector<int32_t> offsets;
+
+    void set(const int32_t* cdfs, int n, int per, const int32_t* szs,
+             const int32_t* offs) {
+        rows.resize(n);
+        sym.resize(n);
+        sizes.assign(szs, szs + n);
+        offsets.assign(offs, offs + n);
+        for (int i = 0; i < n; i++) {
+            const int32_t* row = cdfs + static_cast<size_t>(i) * per;
+            rows[i].assign(row, row + per);
+            sym[i].resize(per > 0 ? per - 1 : 0);
+            for (int j = 0; j + 1 < per; j++) {
+                sym[i][j].start = static_cast<uint16_t>(row[j]);
+                sym[i][j].range = static_cast<uint16_t>(row[j + 1] - row[j]);
+            }
+        }
+    }
+};
+
+struct StagedSym {
+    uint16_t start;
+    uint16_t range;  // range == 0 marks a raw bypass chunk
+};
+
+void istage_symbols(const IdxCdfGroup& g, const int16_t* symbols,
+                    const int16_t* indexes, int n,
+                    std::vector<StagedSym>& out) {
+    for (int i = 0; i < n; i++) {
+        const int32_t idx = indexes[i];
+        if (idx < 0) continue;
+        const int32_t max_value = g.sizes[idx] - 2;
+        int32_t value = static_cast<int32_t>(symbols[i]) - g.offsets[idx];
+        uint32_t raw = 0;
+        if (value < 0) {
+            raw = static_cast<uint32_t>(-2 * value - 1);
+            value = max_value;
+        } else if (value >= max_value) {
+            raw = static_cast<uint32_t>(2 * (value - max_value));
+            value = max_value;
+        }
+        out.push_back({g.sym[idx][value].start, g.sym[idx][value].range});
+        if (value == max_value) {
+            int32_t n_bypass = 0;
+            while ((raw >> (n_bypass * kBypassBits)) != 0) n_bypass++;
+            int32_t v = n_bypass;
+            while (v >= static_cast<int32_t>(kMaxBypassVal)) {
+                out.push_back({static_cast<uint16_t>(kMaxBypassVal), 0});
+                v -= kMaxBypassVal;
+            }
+            out.push_back({static_cast<uint16_t>(v), 0});
+            for (int32_t j = 0; j < n_bypass; j++) {
+                out.push_back({static_cast<uint16_t>(
+                                   (raw >> (j * kBypassBits)) & kMaxBypassVal),
+                               0});
+            }
+        }
+    }
+}
+
 // shared trailing zero bytes between a forward and to-be-reversed stream
 int identical_trailing_bytes(const std::vector<uint8_t>& a, const std::vector<uint8_t>& b) {
     int na = static_cast<int>(a.size());
@@ -310,6 +383,19 @@ struct DcvcRansDecoder {
             lanes.emplace_back(new DecLane());
         }
     }
+};
+
+struct DcvcIRansEncoder {
+    std::vector<IdxCdfGroup> groups;
+    std::vector<StagedSym> syms;
+    std::vector<uint8_t> stream;
+};
+
+struct DcvcIRansDecoder {
+    std::vector<IdxCdfGroup> groups;
+    std::vector<uint8_t> stream;
+    const uint8_t* ptr = nullptr;
+    uint32_t state = 0;
 };
 
 extern "C" {
@@ -600,6 +686,144 @@ void dcvc_scatter_i8(const int8_t* compacted, const uint8_t* cond, int n, int8_t
         out[i] = cond[i] ? compacted[k] : 0;
         k += cond[i] != 0;
     }
+}
+
+// ------------------------------------------------ indexed-mode C API
+
+void* dcvc_irans_encoder_new() { return new DcvcIRansEncoder(); }
+
+void dcvc_irans_encoder_free(void* h) {
+    delete static_cast<DcvcIRansEncoder*>(h);
+}
+
+int dcvc_irans_encoder_add_cdf(void* h, const int32_t* cdfs, int n, int per,
+                               const int32_t* sizes, const int32_t* offsets) {
+    auto* e = static_cast<DcvcIRansEncoder*>(h);
+    e->groups.emplace_back();
+    e->groups.back().set(cdfs, n, per, sizes, offsets);
+    return static_cast<int>(e->groups.size()) - 1;
+}
+
+void dcvc_irans_encoder_reset(void* h) {
+    auto* e = static_cast<DcvcIRansEncoder*>(h);
+    e->syms.clear();
+    e->stream.clear();
+}
+
+void dcvc_irans_encoder_encode(void* h, const int16_t* symbols,
+                               const int16_t* indexes, int n, int group) {
+    auto* e = static_cast<DcvcIRansEncoder*>(h);
+    istage_symbols(e->groups[group], symbols, indexes, n, e->syms);
+}
+
+void dcvc_irans_encoder_flush(void* h) {
+    auto* e = static_cast<DcvcIRansEncoder*>(h);
+    // worst case ~4 bytes per staged entry + final state
+    std::vector<uint8_t> buf(e->syms.size() * 4 + 16);
+    uint8_t* ptr = buf.data() + buf.size();
+    uint32_t st = kRansL;
+    for (auto it = e->syms.rbegin(); it != e->syms.rend(); ++it) {
+        if (it->range != 0) {
+            enc_put(st, ptr, it->start, it->range);
+        } else {
+            enc_put_bits(st, ptr, it->start);
+        }
+    }
+    ptr -= 4;
+    ptr[0] = static_cast<uint8_t>(st >> 0);
+    ptr[1] = static_cast<uint8_t>(st >> 8);
+    ptr[2] = static_cast<uint8_t>(st >> 16);
+    ptr[3] = static_cast<uint8_t>(st >> 24);
+    e->stream.assign(ptr, buf.data() + buf.size());
+}
+
+int dcvc_irans_encoder_get_stream(void* h, uint8_t* out, int cap) {
+    auto* e = static_cast<DcvcIRansEncoder*>(h);
+    const int n = static_cast<int>(e->stream.size());
+    if (out != nullptr && n <= cap) {
+        std::memcpy(out, e->stream.data(), n);
+    }
+    return n;
+}
+
+void* dcvc_irans_decoder_new() { return new DcvcIRansDecoder(); }
+
+void dcvc_irans_decoder_free(void* h) {
+    delete static_cast<DcvcIRansDecoder*>(h);
+}
+
+int dcvc_irans_decoder_add_cdf(void* h, const int32_t* cdfs, int n, int per,
+                               const int32_t* sizes, const int32_t* offsets) {
+    auto* d = static_cast<DcvcIRansDecoder*>(h);
+    d->groups.emplace_back();
+    d->groups.back().set(cdfs, n, per, sizes, offsets);
+    return static_cast<int>(d->groups.size()) - 1;
+}
+
+void dcvc_irans_decoder_set_stream(void* h, const uint8_t* data, int size) {
+    auto* d = static_cast<DcvcIRansDecoder*>(h);
+    d->stream.assign(data, data + size);
+    d->ptr = d->stream.data();
+    d->state = static_cast<uint32_t>(d->ptr[0]) |
+               (static_cast<uint32_t>(d->ptr[1]) << 8) |
+               (static_cast<uint32_t>(d->ptr[2]) << 16) |
+               (static_cast<uint32_t>(d->ptr[3]) << 24);
+    d->ptr += 4;
+}
+
+void dcvc_irans_decoder_decode(void* h, const int16_t* indexes, int n,
+                               int group, int16_t* out) {
+    auto* d = static_cast<DcvcIRansDecoder*>(h);
+    const IdxCdfGroup& g = d->groups[group];
+    uint32_t st = d->state;
+    const uint8_t* ptr = d->ptr;
+    for (int i = 0; i < n; i++) {
+        const int32_t idx = indexes[i];
+        if (idx < 0) {
+            out[i] = 0;
+            continue;
+        }
+        const int32_t* cdf = g.rows[idx].data();
+        const int32_t max_value = g.sizes[idx] - 2;
+        const int32_t cum = static_cast<int32_t>(st & kDecMask);
+        int s = 1;
+        while (cdf[s] <= cum) s++;
+        s--;
+        st = static_cast<uint32_t>(cdf[s + 1] - cdf[s]) * (st >> kScaleBits) +
+             (st & kDecMask) - static_cast<uint32_t>(cdf[s]);
+        while (st < kRansL) {
+            st = (st << 8) | *ptr++;
+        }
+        int32_t value = s;
+        if (value == max_value) {
+            uint32_t val = st & kMaxBypassVal;
+            st >>= kBypassBits;
+            if (st < kRansL) st = (st << 8) | *ptr++;
+            int32_t n_bypass = static_cast<int32_t>(val);
+            while (val == kMaxBypassVal) {
+                val = st & kMaxBypassVal;
+                st >>= kBypassBits;
+                if (st < kRansL) st = (st << 8) | *ptr++;
+                n_bypass += static_cast<int32_t>(val);
+            }
+            int32_t raw = 0;
+            for (int j = 0; j < n_bypass; j++) {
+                val = st & kMaxBypassVal;
+                st >>= kBypassBits;
+                if (st < kRansL) st = (st << 8) | *ptr++;
+                raw |= static_cast<int32_t>(val) << (j * kBypassBits);
+            }
+            value = raw >> 1;
+            if (raw & 1) {
+                value = -value - 1;
+            } else {
+                value += max_value;
+            }
+        }
+        out[i] = static_cast<int16_t>(value + g.offsets[idx]);
+    }
+    d->state = st;
+    d->ptr = ptr;
 }
 
 }  // extern "C"
