@@ -338,6 +338,99 @@ class DMCHEM(nn.Module):
         scales_hat = jnp.concatenate([s00 + s01, s11 + s10], axis=-1)
         return y_res, y_q, y_hat * quant_step, scales_hat
 
+    # ----------------------------------------- inference stage methods
+    #
+    # Reference compress/decompress (video_model.py:259-372).  Shared
+    # enc/dec stage programs; curr q vectors are q_basic (lower-bounded)
+    # x a traced scalar q_scale.
+
+    def _curr_q(self, basic, scale):
+        return (lower_bound(basic, 0.5) * scale).astype(self.dtype)
+
+    def mv_analysis(self, x, ref_frame, mv_y_q_scale):
+        """ENC-only: flow + mv encode + mv hyper."""
+        est_mv = self.optic_flow(x.astype(self.dtype),
+                                 ref_frame.astype(self.dtype))
+        mv_y = self.mv_encoder(est_mv) / self._curr_q(self.mv_y_q_basic,
+                                                      mv_y_q_scale)
+        mv_z = self.mv_hyper_prior_encoder(mv_y)
+        mv_z_int = jnp.clip(jnp.round(mv_z.astype(jnp.float32)),
+                            -30000, 30000).astype(jnp.int16)
+        return mv_y.astype(jnp.float32), mv_z_int
+
+    def mv_prior(self, mv_z_int, ref_mv_y):
+        """SHARED: mv hyper decode + fusion.  ref_mv_y: zeros tensor when
+        the DPB has none (video_model.py:271-276)."""
+        p = self.mv_hyper_prior_decoder(mv_z_int.astype(self.dtype))
+        p = jnp.concatenate([p, ref_mv_y.astype(self.dtype)], axis=-1)
+        q_step, scales, means = jnp.split(self.mv_y_prior_fusion(p), 3,
+                                          axis=-1)
+        return lower_bound(q_step, 0.5), scales, means
+
+    def mv_spatial(self, y_hat_0_merged, q_step, scales, means):
+        """SHARED: second checkerboard pass params
+        (common_model.py:125-127)."""
+        params = jnp.concatenate(
+            [y_hat_0_merged.astype(self.dtype), means, scales,
+             jnp.broadcast_to(q_step, y_hat_0_merged.shape).astype(self.dtype)],
+            axis=-1)
+        out = self.mv_y_spatial_prior(params)
+        s0, m0, s1, m1 = jnp.split(out, 4, axis=-1)
+        return (jnp.concatenate([s0, s1], axis=-1),
+                jnp.concatenate([m0, m1], axis=-1))
+
+    def mv_synthesis(self, mv_y_hat, mv_y_q_scale):
+        mv_y_hat = mv_y_hat * self._curr_q(self.mv_y_q_basic,
+                                           mv_y_q_scale).astype(jnp.float32)
+        mv_hat = self.mv_decoder(mv_y_hat.astype(self.dtype))
+        return mv_y_hat, mv_hat
+
+    def mc(self, ref_frame, ref_feature, has_feature, mv_hat):
+        dpb = {"ref_frame": ref_frame,
+               "ref_feature": ref_feature if has_feature else None}
+        c1, c2, c3, _ = self.motion_compensation(dpb, mv_hat)
+        return c1, c2, c3
+
+    def ctx_analysis(self, x, c1, c2, c3, y_q_scale):
+        y = self.contextual_encoder(x.astype(self.dtype), c1, c2, c3) \
+            / self._curr_q(self.y_q_basic, y_q_scale)
+        z = self.contextual_hyper_prior_encoder(y)
+        z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return y.astype(jnp.float32), z_int
+
+    def ctx_prior(self, z_int, c3, ref_y):
+        hierarchical = self.contextual_hyper_prior_decoder(
+            z_int.astype(self.dtype))
+        temporal = self.temporal_prior_encoder(c3)
+        p = jnp.concatenate([temporal, hierarchical,
+                             ref_y.astype(self.dtype)], axis=-1)
+        q_step, scales, means = jnp.split(self.y_prior_fusion(p), 3,
+                                          axis=-1)
+        return lower_bound(q_step, 0.5), scales, means
+
+    def ctx_spatial(self, y_hat_0_merged, q_step, scales, means):
+        params = jnp.concatenate(
+            [y_hat_0_merged.astype(self.dtype), means, scales,
+             jnp.broadcast_to(q_step, y_hat_0_merged.shape).astype(self.dtype)],
+            axis=-1)
+        out = self.y_spatial_prior(params)
+        s0, m0, s1, m1 = jnp.split(out, 4, axis=-1)
+        return (jnp.concatenate([s0, s1], axis=-1),
+                jnp.concatenate([m0, m1], axis=-1))
+
+    def synthesis(self, y_hat, c1, c2, c3, y_q_scale):
+        y_hat = y_hat * self._curr_q(self.y_q_basic,
+                                     y_q_scale).astype(jnp.float32)
+        recon_feat = self.contextual_decoder(y_hat.astype(self.dtype),
+                                             c2, c3)
+        feature = self.rg_first_conv(
+            jnp.concatenate([c1, recon_feat], axis=-1))
+        feature = self.rg_unet_2(self.rg_unet_1(feature))
+        recon = jnp.clip(self.rg_recon_conv(feature).astype(jnp.float32),
+                         0.0, 1.0)
+        return y_hat, recon, feature
+
     # ----------------------------------------------------------- forward
 
     def __call__(self, x, dpb, mv_y_q_scale=None, y_q_scale=None, rng=None):
