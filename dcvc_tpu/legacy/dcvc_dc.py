@@ -292,6 +292,134 @@ class DMCDC(nn.Module):
             y, None, None, params, lambda p: p,
             adaptors, spatial_prior, spatial_prior_has_scales=True)
 
+    # ----------------------------------------- inference stage methods
+    #
+    # FM-compatible signatures (runtime/fm_codec.py base class); reference
+    # DCVC-DC/src/models/video_model.py:425-520.  q_index is traced over
+    # the 64-level fine interpolation of the 4 ckpt anchors (q_in_ckpt
+    # selects the anchors directly).
+
+    def _q_infer(self, basic, anchors, q_index, q_in_ckpt):
+        a = anchors.reshape(-1)
+        if q_in_ckpt:
+            scale = a[q_index]
+        else:
+            step = (jnp.log(a[-1]) - jnp.log(a[0])) / (64 - 1)
+            scale = jnp.exp(jnp.log(a[0]) + step * q_index)
+        return (basic * scale).astype(self.dtype)
+
+    def _pad4(self, y):
+        h, w = y.shape[1], y.shape[2]
+        pb, pr = (-h) % 4, (-w) % 4
+        if pb or pr:
+            y = jnp.pad(y, ((0, 0), (0, pb), (0, pr), (0, 0)), mode="edge")
+        return y
+
+    def mv_analysis(self, x, ref_frame, ref_mv_feature, q_index,
+                    q_in_ckpt=False):
+        q = self._q_infer(self.mv_y_q_basic_enc, self.mv_y_q_scale_enc,
+                          q_index, q_in_ckpt)
+        est_mv = self.optic_flow(x.astype(self.dtype),
+                                 ref_frame.astype(self.dtype))
+        mv_y = self.mv_encoder(est_mv, ref_mv_feature, q)
+        mv_z = self.mv_hyper_prior_encoder(self._pad4(mv_y))
+        mv_z_int = jnp.clip(jnp.round(mv_z.astype(jnp.float32)),
+                            -30000, 30000).astype(jnp.int16)
+        return mv_y.astype(jnp.float32), mv_z_int
+
+    def mv_prior0(self, mv_z_int, ref_mv_y, yh, yw):
+        p = self.mv_hyper_prior_decoder(mv_z_int.astype(self.dtype))
+        p = p[:, :yh, :yw, :]
+        if ref_mv_y is None:
+            p = self.mv_y_prior_fusion_adaptor_0(p)
+        else:
+            p = self.mv_y_prior_fusion_adaptor_1(jnp.concatenate(
+                [p, ref_mv_y.astype(self.dtype)], axis=-1))
+        params = self.mv_y_prior_fusion(p)
+        q_enc, q_dec, scales, means = mcommon.separate_prior_video_infer(
+            params)
+        return q_enc, q_dec, scales, means, params
+
+    def mv_prior_step(self, spctx, y_hat_so_far, step):
+        adaptors = [self.mv_y_spatial_prior_adaptor_1,
+                    self.mv_y_spatial_prior_adaptor_2,
+                    self.mv_y_spatial_prior_adaptor_3]
+        sp_in = jnp.concatenate([y_hat_so_far.astype(self.dtype), spctx],
+                                axis=-1)
+        out = self.mv_y_spatial_prior(adaptors[step - 1](sp_in))
+        scales, means = jnp.split(out, 2, axis=-1)
+        return scales, means
+
+    def mv_synthesis(self, mv_y_hat, q_index, q_in_ckpt=False):
+        q = self._q_infer(self.mv_y_q_basic_dec, self.mv_y_q_scale_dec,
+                          q_index, q_in_ckpt)
+        return self.mv_decoder(mv_y_hat.astype(self.dtype), q)
+
+    def mc(self, ref_frame, ref_feature, fa_idx, mv_hat):
+        """fa_idx: adaptor index (caller maps INDEX_MAP[frame_idx % 4])."""
+        ref = ref_frame.astype(self.dtype)
+        warpframe = block_mc(ref, mv_hat)
+        mv2 = bilinear_downsample_2x(mv_hat) / 2
+        mv3 = bilinear_downsample_2x(mv2) / 2
+        if ref_feature is None:
+            feature = self.feature_adaptor_I(ref)
+        else:
+            feature = self.feature_adaptor[fa_idx](
+                ref_feature.astype(self.dtype))
+        f1, f2, f3 = self.feature_extractor(feature)
+        context1_init = block_mc(f1, mv_hat)
+        context1 = self.align(
+            f1, jnp.concatenate([context1_init, warpframe,
+                                 mv_hat.astype(self.dtype)], axis=-1),
+            mv_hat)
+        context2 = block_mc(f2, mv2)
+        context3 = block_mc(f3, mv3)
+        return self.context_fusion_net(context1, context2, context3)
+
+    def ctx_analysis(self, x, c1, c2, c3, q_index, q_in_ckpt=False):
+        q = self._q_infer(self.y_q_basic_enc, self.y_q_scale_enc,
+                          q_index, q_in_ckpt)
+        y = self.contextual_encoder(x.astype(self.dtype), c1, c2, c3, q)
+        z = self.contextual_hyper_prior_encoder(self._pad4(y))
+        z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return y.astype(jnp.float32), z_int
+
+    def ctx_prior0(self, z_int, ref_y, c3, yh, yw):
+        hierarchical = self.contextual_hyper_prior_decoder(
+            z_int.astype(self.dtype))
+        hierarchical = hierarchical[:, :yh, :yw, :]
+        temporal = self.temporal_prior_encoder(c3)
+        if ref_y is None:
+            p = self.y_prior_fusion_adaptor_0(
+                jnp.concatenate([temporal, hierarchical], axis=-1))
+        else:
+            p = self.y_prior_fusion_adaptor_1(jnp.concatenate(
+                [temporal, hierarchical, ref_y.astype(self.dtype)],
+                axis=-1))
+        params = self.y_prior_fusion(p)
+        q_enc, q_dec, scales, means = mcommon.separate_prior_video_infer(
+            params)
+        return q_enc, q_dec, scales, means, params
+
+    def ctx_prior_step(self, spctx, y_hat_so_far, step):
+        adaptors = [self.y_spatial_prior_adaptor_1,
+                    self.y_spatial_prior_adaptor_2,
+                    self.y_spatial_prior_adaptor_3]
+        sp_in = jnp.concatenate([y_hat_so_far.astype(self.dtype), spctx],
+                                axis=-1)
+        out = self.y_spatial_prior(adaptors[step - 1](sp_in))
+        scales, means = jnp.split(out, 2, axis=-1)
+        return scales, means
+
+    def synthesis(self, y_hat, c1, c2, c3, q_index, q_in_ckpt=False):
+        q = self._q_infer(self.y_q_basic_dec, self.y_q_scale_dec,
+                          q_index, q_in_ckpt)
+        recon_feat = self.contextual_decoder(y_hat.astype(self.dtype),
+                                             c2, c3, q)
+        feature, x_hat = self.recon_generation_net(recon_feat, c1)
+        return jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0), feature
+
     # ----------------------------------------------------------- forward
 
     def __call__(self, x, dpb, q_index, frame_idx, rng):

@@ -70,20 +70,33 @@ def chw_to_cand(flat, terms, h2, w2, dtype=np.int16):
 class DMCFMCodec:
     """Holds params + CDF banks + compiled-program cache; compress /
     decompress one P frame against the DPB (reference DMC.compress,
-    video_model.py:396-453)."""
+    video_model.py:396-453).
+
+    Also the base for the other two-stream four-part family members
+    (DCVC-DC, runtime/dc_codec.py): subclasses override Z_QP_NUM /
+    _z_channels() and their model provides the same stage-method
+    surface."""
+
+    Z_QP_NUM = 2        # FM bitparm banks carry 2 qp rows
+    DISTRIBUTION = "laplace"
+
+    def _z_channels(self):
+        """(mv_z_channels, ctx_z_channels)."""
+        return self.cfg.ch_mv_z, self.cfg.ch_z
 
     def __init__(self, model, params):
         self.model = model
         self.cfg = model.cfg
         self.params = params
 
-        c = self.cfg
-        self.gauss = LegacyGaussianTable("laplace")
+        ch_mv_z, ch_z = self._z_channels()
+        self.ch_mv_z, self.ch_z = ch_mv_z, ch_z
+        self.gauss = LegacyGaussianTable(self.DISTRIBUTION)
         y_cdf, y_len, y_off = self.gauss.compute_cdf_bank()
         z_cdf, z_len, z_off = legacy_bitparm_bank(
-            params["bit_estimator_z"], 2, c.ch_z)
+            params["bit_estimator_z"], self.Z_QP_NUM, ch_z)
         zmv_cdf, zmv_len, zmv_off = legacy_bitparm_bank(
-            params["bit_estimator_z_mv"], 2, c.ch_mv_z)
+            params["bit_estimator_z_mv"], self.Z_QP_NUM, ch_mv_z)
 
         self.encoder = rans.IndexedRansEncoder()
         self.decoder = rans.IndexedRansDecoder()
@@ -131,6 +144,14 @@ class DMCFMCodec:
             return out
 
         params = merge(dict(p0), dict(p1))
+        # the init traces exercise only feature_adaptor_1 (fa_idx=1);
+        # clone it into the other refresh-schedule slots so every
+        # variant program has params (real checkpoints overwrite them)
+        proto = params.get("feature_adaptor_1")
+        if proto is not None:
+            for i in (0, 2):
+                params.setdefault(f"feature_adaptor_{i}",
+                                  jax.tree.map(lambda v: v, proto))
         if init_scale != 1.0:
             def scale_kernels(path, leaf):
                 if path[-1].key in ("kernel", "fusion_kernel"):
@@ -387,10 +408,10 @@ class DMCFMCodec:
         mv_z_np = np.asarray(mv_z_int)[0].transpose(2, 0, 1).reshape(-1)
         z_np = np.asarray(z_int)[0].transpose(2, 0, 1).reshape(-1)
         enc.encode_with_indexes(
-            mv_z_np, build_z_indexes(0, self.cfg.ch_mv_z, zh, zw),
+            mv_z_np, build_z_indexes(0, self.ch_mv_z, zh, zw),
             self.g_zmv)
         enc.encode_with_indexes(
-            z_np, build_z_indexes(0, self.cfg.ch_z, zh, zw), self.g_z)
+            z_np, build_z_indexes(0, self.ch_z, zh, zw), self.g_z)
         for side, outs in (("mv", mv_outs), ("ctx", y_outs)):
             terms = p["terms"][side]
             for k, (y_q, idx) in enumerate(outs):
@@ -413,12 +434,12 @@ class DMCFMCodec:
         qi = jnp.int32(q_index)
 
         mv_z_np = dec.decode_stream(
-            build_z_indexes(0, cfg.ch_mv_z, zh, zw), self.g_zmv)
+            build_z_indexes(0, self.ch_mv_z, zh, zw), self.g_zmv)
         z_np = dec.decode_stream(
-            build_z_indexes(0, cfg.ch_z, zh, zw), self.g_z)
-        mv_z_int = jnp.asarray(mv_z_np.reshape(cfg.ch_mv_z, zh, zw)
+            build_z_indexes(0, self.ch_z, zh, zw), self.g_z)
+        mv_z_int = jnp.asarray(mv_z_np.reshape(self.ch_mv_z, zh, zw)
                                .transpose(1, 2, 0)[None])
-        z_int = jnp.asarray(z_np.reshape(cfg.ch_z, zh, zw)
+        z_int = jnp.asarray(z_np.reshape(self.ch_z, zh, zw)
                             .transpose(1, 2, 0)[None])
 
         def make_decode_fn(side):
