@@ -184,6 +184,77 @@ class DMCTCM(nn.Module):
         c1, c2, c3 = self.context_fusion(c1, c2, c3)
         return c1, c2, c3, warpframe
 
+    # ----------------------------------------- inference stage methods
+    #
+    # Reference compress/decompress (video_net_dmc.py:321-380): single-
+    # shot dense gaussian coding, no spatial steps.  Shared enc/dec
+    # stage programs.
+
+    def mv_analysis(self, x, ref_frame):
+        """ENC-only: flow + mv encode + mv hyper."""
+        est_mv = self.optic_flow(x.astype(self.dtype),
+                                 ref_frame.astype(self.dtype))
+        mv_y = self.mv_encoder(est_mv)
+        mv_z = self.mv_prior_encoder(mv_y)
+        mv_z_int = jnp.clip(jnp.round(mv_z.astype(jnp.float32)),
+                            -30000, 30000).astype(jnp.int16)
+        return mv_y.astype(jnp.float32), mv_z_int
+
+    def mv_prior(self, mv_z_int):
+        """SHARED: (scales, means) for the dense mv grid."""
+        scales, means = jnp.split(
+            self.mv_prior_decoder(mv_z_int.astype(self.dtype)), 2, axis=-1)
+        return scales.astype(jnp.float32), means.astype(jnp.float32)
+
+    def mv_synthesis(self, mv_y_hat):
+        return self.mv_decoder(mv_y_hat.astype(self.dtype))
+
+    def mc(self, ref_frame, ref_feature, has_feature, mv_hat):
+        c1, c2, c3, _ = self.motion_compensation(
+            ref_frame.astype(self.dtype),
+            ref_feature if has_feature else None, mv_hat)
+        return c1, c2, c3
+
+    def ctx_analysis(self, x, c1, c2, c3):
+        """ENC-only: contextual encode + hyper."""
+        xd = x.astype(self.dtype)
+        f = self.ce_gdn1(self.ce_conv1(jnp.concatenate([xd, c1], axis=-1)))
+        f = self.ce_res1(jnp.concatenate([f, c2], axis=-1))
+        f = self.ce_gdn2(self.ce_conv2(f))
+        f = self.ce_res2(jnp.concatenate([f, c3], axis=-1))
+        y = self.ce_conv4(self.ce_gdn3(self.ce_conv3(f)))
+        z = self.contextual_hyper_prior_encoder(y)
+        z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return y.astype(jnp.float32), z_int
+
+    def ctx_prior(self, z_int, c1, c2, c3):
+        """SHARED: hyper + temporal -> (scales, means)."""
+        hierarchical = self.contextual_hyper_prior_decoder(
+            z_int.astype(self.dtype))
+        t = self.tp_gdn1(self.tp_conv1(c1))
+        t = self.tp_gdn2(self.tp_conv2(jnp.concatenate([t, c2], axis=-1)))
+        t = self.tp_gdn3(self.tp_conv3(jnp.concatenate([t, c3], axis=-1)))
+        temporal = self.tp_conv4(t)
+        params = jnp.concatenate([temporal, hierarchical], axis=-1)
+        scales, means = jnp.split(
+            self.contextual_entropy_parameter(params), 2, axis=-1)
+        return scales.astype(jnp.float32), means.astype(jnp.float32)
+
+    def synthesis(self, y_hat, c1, c2, c3):
+        """SHARED: contextual decode + recon -> (x_hat [0,1], feature)."""
+        rf = self.cd_gdn1(self.cd_up1(y_hat.astype(self.dtype)))
+        rf = self.cd_gdn2(self.cd_up2(rf))
+        rf = self.cd_res1(jnp.concatenate([rf, c3], axis=-1))
+        rf = self.cd_gdn3(self.cd_up3(rf))
+        rf = self.cd_res2(jnp.concatenate([rf, c2], axis=-1))
+        recon_feat = self.cd_up4(rf)
+        feature = self.rg_res2(self.rg_res1(self.rg_conv(
+            jnp.concatenate([c1, recon_feat], axis=-1))))
+        recon = jnp.clip(self.rg_recon_conv(feature).astype(jnp.float32),
+                         0.0, 1.0)
+        return recon, feature
+
     def __call__(self, x, ref_frame, ref_feature):
         """Training forward (video_net_dmc.py:430-...).  Frames RGB [0,1]."""
         d = self.dtype
