@@ -234,6 +234,40 @@ class EVC(nn.Module):
         scales_hat = jnp.concatenate([s00 + s01, s11 + s10], axis=-1)
         return y_res, y_q, y_hat * quant_step, scales_hat
 
+    # ----------------------------------------- inference stage methods
+    # (reference image_model.py:131-200; shared enc/dec programs)
+
+    def analysis(self, x, q_scale):
+        curr_q = (q_scale * self.q_basic).astype(self.dtype)
+        y = self.enc(x.astype(self.dtype)) / curr_q
+        z = self.hyper_enc(y)
+        z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return y.astype(jnp.float32), z_int
+
+    def prior(self, z_int):
+        params = self.y_prior_fusion(self.hyper_dec(
+            z_int.astype(self.dtype)))
+        q_step, scales, means = jnp.split(params, 3, axis=-1)
+        return jnp.maximum(q_step, 0.5), scales, means
+
+    def spatial(self, y_hat_0_merged, q_step, scales, means):
+        params = jnp.concatenate(
+            [y_hat_0_merged.astype(self.dtype), means, scales,
+             jnp.broadcast_to(q_step, y_hat_0_merged.shape)
+             .astype(self.dtype)], axis=-1)
+        out = self.y_spatial_prior(params)
+        s0, m0, s1, m1 = jnp.split(out, 4, axis=-1)
+        return (jnp.concatenate([s0, s1], axis=-1),
+                jnp.concatenate([m0, m1], axis=-1))
+
+    def synthesis(self, y_hat_acc, q_scale):
+        curr_q = (q_scale * self.q_basic).astype(jnp.float32)
+        y_hat = y_hat_acc * curr_q
+        x_hat = self.dec(y_hat.astype(self.dtype))
+        x_hat = pixel_shuffle(self.dec_out(x_hat), 2)
+        return jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0)
+
     def __call__(self, x, q_scale=None):
         """Training forward.  x: (B, H, W, 3) RGB [0, 1]; q_scale: scalar
         (defaults to the first anchor)."""

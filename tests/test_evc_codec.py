@@ -1,0 +1,32 @@
+"""EVC image-codec bitstream runtime round-trips (tiny config),
+reference DCVC-family/EVC/src/models/image_model.py:131-200."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcvc_tpu.legacy.evc import TINY_EVC_CONFIG
+from dcvc_tpu.runtime.evc_codec import EVCCodec
+
+
+@pytest.fixture(scope="module")
+def evc_codec():
+    return EVCCodec.init_random(jax.random.PRNGKey(0),
+                                cfg=TINY_EVC_CONFIG)
+
+
+def _image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32)
+
+
+def test_evc_roundtrip(evc_codec):
+    h = w = 64
+    x = _image(h, w, seed=7)
+    for qs in (0.8, 1.4):
+        res = evc_codec.compress(jnp.asarray(x), qs, h=h, w=w)
+        assert len(res["bit_stream"]) > 8
+        out = evc_codec.decompress(res["bit_stream"], qs, h, w)
+        np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                      np.asarray(res["x_hat"]))
