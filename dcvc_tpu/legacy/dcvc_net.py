@@ -251,6 +251,55 @@ class DCVCNet(nn.Module):
         bits = jnp.clip(-jnp.log(probs + 1e-5) / math.log(2.0), 0, 50)
         return jnp.sum(bits, axis=(1, 2, 3))
 
+    # ----------------------------------------- inference stage methods
+    #
+    # Reference compress/decompress (DCVC_net.py:331-414).  The masked-
+    # conv AR coding itself runs on the HOST (runtime/dcvc_codec.py
+    # HostAR, the documented serial slow path mirroring
+    # DCVC_net.py:257-330); these stages cover everything around it.
+
+    def mv_analysis(self, x, ref):
+        est_mv = self.optic_flow(x.astype(self.dtype),
+                                 ref.astype(self.dtype))
+        mv_feature = self.mv_encoder(est_mv)
+        z_mv = self.mv_prior_encoder(mv_feature)
+        z_int = jnp.clip(jnp.round(z_mv.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return mv_feature.astype(jnp.float32), z_int
+
+    def mv_prior(self, mv_z_int):
+        return self.mv_prior_decoder(mv_z_int.astype(self.dtype)) \
+            .astype(jnp.float32)
+
+    def mv_synthesis(self, mv_y_hat, ref):
+        """mv decode + refine + motion compensation + temporal prior."""
+        mv_up = self.mv_decoder_part1(mv_y_hat.astype(self.dtype))
+        refined = self.mv_decoder_part2(
+            jnp.concatenate([mv_up, ref.astype(self.dtype)], axis=-1)) \
+            + mv_up
+        context = self.motion_compensation(ref, refined)
+        temporal_params = self.temporal_prior_encoder(context)
+        return context, temporal_params.astype(jnp.float32)
+
+    def ctx_analysis(self, x, context):
+        feature = self.contextual_encoder(
+            jnp.concatenate([x.astype(self.dtype), context], axis=-1))
+        z = self.prior_encoder(feature)
+        z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
+                         -30000, 30000).astype(jnp.int16)
+        return feature.astype(jnp.float32), z_int
+
+    def ctx_prior(self, z_int):
+        return self.prior_decoder(z_int.astype(self.dtype)) \
+            .astype(jnp.float32)
+
+    def synthesis(self, y_hat, context):
+        recon_feat = self.contextual_decoder_part1(
+            y_hat.astype(self.dtype))
+        recon = self.contextual_decoder_part2(
+            jnp.concatenate([recon_feat, context], axis=-1))
+        return jnp.clip(recon.astype(jnp.float32), 0.0, 1.0)
+
     def __call__(self, referframe, input_image):
         """Training forward (reference DCVC_net.forward, :414-465).
         Frames: (B, H, W, 3) RGB [0, 1]."""
