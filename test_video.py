@@ -101,6 +101,33 @@ def build_codecs(args):
     return i_codec, p_codec, frame_delay
 
 
+_WORKER_STATE = {}
+
+
+def _init_worker(args):
+    """ProcessPoolExecutor initializer (reference test_video.py:496-500):
+    each worker owns its codecs; on a multi-chip host, workers map onto
+    chips round-robin via their pid slot."""
+    import jax
+
+    n_dev = max(1, len(jax.devices()))
+    slot = (os.getpid() % n_dev)
+    try:
+        jax.config.update("jax_default_device", jax.devices()[slot])
+    except Exception:
+        pass
+    i_codec, p_codec, frame_delay = build_codecs(args)
+    _WORKER_STATE.update(i_codec=i_codec, p_codec=p_codec,
+                         frame_delay=frame_delay)
+
+
+def _run_point(cur):
+    from dcvc_tpu.eval.harness import run_one_point_with_stream
+    return run_one_point_with_stream(
+        _WORKER_STATE["p_codec"], _WORKER_STATE["i_codec"],
+        _WORKER_STATE["frame_delay"], cur)
+
+
 def main():
     from dcvc_tpu.eval.harness import run_one_point_with_stream
     from dcvc_tpu.models.common import QP_NUM
@@ -113,8 +140,14 @@ def main():
     with open(args.test_config) as f:
         config = json.load(f)
 
-    i_codec, p_codec, frame_delay = build_codecs(args)
-    qp_num = i_codec.cfg.qp_num
+    if args.worker > 1:
+        i_codec = p_codec = None
+        frame_delay = 8 if args.model_structure in ("hts", "htl") else 1
+        from dcvc_tpu.models.dmci import DMCIConfig, TINY_CONFIG
+        qp_num = (TINY_CONFIG if args.tiny_model else DMCIConfig()).qp_num
+    else:
+        i_codec, p_codec, frame_delay = build_codecs(args)
+        qp_num = i_codec.cfg.qp_num
 
     rate_num = args.rate_num
     if args.qp_i is not None:
@@ -131,7 +164,7 @@ def main():
     root_path = args.force_root_path or config["root_path"]
     config = config["test_classes"]
 
-    results = []
+    points = []
     count_frames = count_sequences = 0
     for ds_name in config:
         if config[ds_name]["test"] == 0:
@@ -179,12 +212,24 @@ def main():
                 cur["curr_rec_path"] = cur["curr_bin_path"].replace(".bin", ".yuv")
                 cur["curr_json_path"] = cur["curr_bin_path"].replace(".bin", ".json")
 
-                result = run_one_point_with_stream(
-                    p_codec, i_codec, frame_delay, cur)
-                result["ds_name"] = ds_name
-                result["seq"] = seq
-                result["rate_idx"] = rate_idx
-                results.append(result)
+                points.append(cur)
+
+    if args.worker > 1:
+        import concurrent.futures
+        import multiprocessing
+        ctx = multiprocessing.get_context("spawn")
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=args.worker, mp_context=ctx,
+                initializer=_init_worker, initargs=(args,)) as pool:
+            results = list(pool.map(_run_point, points))
+    else:
+        results = [run_one_point_with_stream(p_codec, i_codec,
+                                             frame_delay, cur)
+                   for cur in points]
+    for cur, result in zip(points, results):
+        result["ds_name"] = cur["ds_name"]
+        result["seq"] = cur["seq"]
+        result["rate_idx"] = cur["rate_idx"]
 
     log_result = {}
     for res in results:

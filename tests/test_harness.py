@@ -94,3 +94,43 @@ def test_cli_end_to_end(synthetic_dataset, tmp_path, structure):
     bins = list((stream_dir / "TestClass").glob("*.bin"))
     assert len(bins) == 2
     assert all(b.stat().st_size > 100 for b in bins)
+
+
+def test_cli_worker_pool_identical(synthetic_dataset, tmp_path):
+    """--worker N > 1 runs points in a process pool (reference
+    test_video.py:496-500) and must produce the identical result JSON."""
+    root, cfg_path, (h, w, n) = synthetic_dataset
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    pp = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+          if p and "axon_site" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(pp + [os.getcwd()])
+
+    outs = {}
+    for workers in (1, 2):
+        out_json = tmp_path / f"result_w{workers}.json"
+        cmd = [sys.executable, "test_video.py",
+               "--test_config", cfg_path,
+               "--output_path", str(out_json),
+               "--stream_path", str(tmp_path / f"bin_w{workers}"),
+               "--model_structure", "ld",
+               "--rate_num", "2",
+               "--qp_i", "1", "5",
+               "--qp_p", "1", "5",
+               "--force_frame_num", "3",
+               "--tiny_model", "1",
+               "--worker", str(workers)]
+        proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                              timeout=1800)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        with open(out_json) as f:
+            outs[workers] = json.load(f)
+
+    a = outs[1]["TestClass"]
+    b = outs[2]["TestClass"]
+    for seq in a:
+        for rate in a[seq]:
+            for key in ("ave_all_frame_bpp", "ave_all_frame_psnr",
+                        "i_frame_num", "p_frame_num"):
+                assert a[seq][rate][key] == b[seq][rate][key], (seq, rate,
+                                                                key)
