@@ -29,6 +29,10 @@ def parse_args(argv):
                         help="pairs: name path name path ...")
     parser.add_argument("--output_path", type=str, default="stdout")
     parser.add_argument("--plot_path", type=str, default="")
+    parser.add_argument("--allow_extrapolation", action="store_true",
+                        help="BD-rate over the union distortion range "
+                             "when curves do not overlap (labeled, "
+                             "out-of-spec; for untrained sanity runs)")
     parser.add_argument("--distortion_metrics", type=str, nargs="+",
                         default=["psnr"],
                         choices=["psnr", "msssim", "psnr_y", "psnr_u",
@@ -73,7 +77,8 @@ def _mean_point(vals, metric):
     return agg
 
 
-def compute_bd_rates(data, base, metric, frame_type):
+def compute_bd_rates(data, base, metric, frame_type,
+                     allow_extrapolation=False):
     """data: method -> class -> rate_point -> means."""
     results = {}
     for method, classes in data.items():
@@ -93,8 +98,9 @@ def compute_bd_rates(data, base, metric, frame_type):
             bpp_t, dist_t = curve(method)
             if (len(bpp_t) >= 3 and bpp_a[0] > 0 and dist_t[0]
                     and dist_t[0] > 0):
-                results[method][ds_name] = bd_rate(bpp_a, dist_a,
-                                                   bpp_t, dist_t)
+                results[method][ds_name] = bd_rate(
+                    bpp_a, dist_a, bpp_t, dist_t,
+                    extrapolate=allow_extrapolation)
     return results
 
 
@@ -177,7 +183,8 @@ def main(argv):
     for metric in args.distortion_metrics:
         data = mean_over_sequence(raw, metric)
         for ft in frame_types:
-            results = compute_bd_rates(data, args.base_method, metric, ft)
+            results = compute_bd_rates(data, args.base_method, metric, ft,
+                                       args.allow_extrapolation)
             print_table(results, f"{metric}, {ft}-frames")
             if args.plot_path:
                 plot_rd_curves(data, metric, ft, args.plot_path)
@@ -188,7 +195,8 @@ def main(argv):
         for metric in args.distortion_metrics:
             data = mean_over_sequence(raw, metric)
             out[metric] = {ft: compute_bd_rates(data, args.base_method,
-                                                metric, ft)
+                                                metric, ft,
+                                                args.allow_extrapolation)
                            for ft in frame_types}
         with open(args.output_path, "w") as f:
             json.dump(out, f, indent=2)

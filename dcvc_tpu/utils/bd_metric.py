@@ -17,8 +17,14 @@ def _bd_int(x, y, lo, hi):
     return np.polyval(p_int, hi) - np.polyval(p_int, lo)
 
 
-def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test):
-    """BD-rate in percent (negative = test saves rate vs anchor)."""
+def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test,
+            extrapolate=False):
+    """BD-rate in percent (negative = test saves rate vs anchor).
+
+    With extrapolate=True, disjoint distortion ranges fall back to
+    integrating both cubic fits over the UNION range (an extrapolated,
+    clearly-out-of-spec number — useful to keep untrained/sanity runs
+    comparable end-to-end; standard VCEG-M33 otherwise)."""
     lr_a = np.log(np.asarray(rate_anchor, np.float64))
     lr_t = np.log(np.asarray(rate_test, np.float64))
     d_a = np.asarray(psnr_anchor, np.float64)
@@ -27,7 +33,10 @@ def bd_rate(rate_anchor, psnr_anchor, rate_test, psnr_test):
     lo = max(d_a.min(), d_t.min())
     hi = min(d_a.max(), d_t.max())
     if hi <= lo:
-        return float("nan")
+        if not extrapolate:
+            return float("nan")
+        lo = min(d_a.min(), d_t.min())
+        hi = max(d_a.max(), d_t.max())
 
     # fit log-rate as a function of distortion
     int_a = _bd_int(d_a, lr_a, lo, hi)

@@ -1,0 +1,111 @@
+"""BD-rate gate: exercise the full RD pipeline against the VTM anchor.
+
+Generates a synthetic stand-in for a UVG sequence, encodes/decodes it at
+4 rate points through test_video.py, then runs compare_bd_rate.py
+against the vendored VTM-17.0 low-delay anchor
+(test_cfg/anchors/vtm_17.0_yuv420_LB_allf_ip0.json) and writes the
+comparison artifact to artifacts/BD_RATE_GATE.json.
+
+With untrained (random) weights the RD curve sits far below VTM's
+quality range, so the vs-anchor number is computed with
+--allow_extrapolation and labeled a PIPELINE-VALIDATION number, not a
+quality claim; the same command with trained checkpoints produces the
+real gate.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+SEQ = "Beauty_1920x1080_120fps_420_8bit_YUV.yuv"
+ANCHOR = "test_cfg/anchors/vtm_17.0_yuv420_LB_allf_ip0.json"
+
+
+def make_sequence(root, h=192, w=256, n=9):
+    os.makedirs(os.path.join(root, "UVG"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    from scipy.ndimage import gaussian_filter
+    base_y = gaussian_filter(rng.uniform(0, 255, (h, w)), 6.0)
+    base_uv = gaussian_filter(rng.uniform(0, 255, (2, h // 2, w // 2)), 3.0)
+    with open(os.path.join(root, "UVG", SEQ), "wb") as f:
+        for i in range(n):
+            y = np.clip(np.roll(base_y, i, 1) + rng.normal(0, 1.5, (h, w)),
+                        0, 255).astype(np.uint8)
+            uv = np.clip(base_uv + rng.normal(0, 1, base_uv.shape),
+                         0, 255).astype(np.uint8)
+            f.write(y.tobytes())
+            f.write(uv.tobytes())
+    cfg = {
+        "root_path": root,
+        "test_classes": {
+            "UVG": {
+                "test": 1, "base_path": "UVG", "src_type": "yuv420",
+                "sequences": {SEQ: {"width": w, "height": h, "frames": n,
+                                    "intra_period": -1}},
+            }
+        },
+    }
+    cfg_path = os.path.join(root, "bd_gate_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    return cfg_path
+
+
+def main():
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    os.makedirs("artifacts", exist_ok=True)
+
+    with tempfile.TemporaryDirectory() as root:
+        cfg_path = make_sequence(root)
+        result_json = os.path.join(root, "result.json")
+        cmd = [sys.executable, "test_video.py",
+               "--test_config", cfg_path,
+               "--output_path", result_json,
+               "--stream_path", os.path.join(root, "bin"),
+               "--model_structure", "hts",
+               "--rate_num", "4",
+               "--qp_i", "0", "2", "4", "6",
+               "--qp_p", "0", "2", "4", "6",
+               "--tiny_model", "1"]
+        subprocess.run(cmd, check=True, env=env)
+
+        cmd = [sys.executable, "compare_bd_rate.py",
+               "--base_method", "VTM-17.0",
+               "--log_paths", "VTM-17.0", ANCHOR,
+               "dcvc_tpu_hts", result_json,
+               "--compare_frame_type", "all",
+               "--allow_extrapolation",
+               "--output_path", os.path.join(root, "bd.json")]
+        subprocess.run(cmd, check=True, env=env)
+
+        with open(os.path.join(root, "bd.json")) as f:
+            bd = json.load(f)
+        with open(result_json) as f:
+            rd = json.load(f)
+
+    artifact = {
+        "note": ("pipeline-validation run: synthetic stand-in sequence, "
+                 "UNTRAINED tiny models, BD-rate vs the VTM-17.0 anchor "
+                 "computed with union-range extrapolation; replace "
+                 "model paths with trained checkpoints for the real "
+                 "gate"),
+        "anchor": ANCHOR,
+        "bd_rate_pct_vs_vtm17": bd,
+        "rd_points": {
+            rp: {"bpp": v["ave_all_frame_bpp"],
+                 "psnr": v["ave_all_frame_psnr"]}
+            for rp, v in rd["UVG"][SEQ].items()},
+    }
+    with open("artifacts/BD_RATE_GATE.json", "w") as f:
+        json.dump(artifact, f, indent=2)
+    print(json.dumps(artifact["bd_rate_pct_vs_vtm17"], indent=2))
+    print("wrote artifacts/BD_RATE_GATE.json")
+
+
+if __name__ == "__main__":
+    main()
