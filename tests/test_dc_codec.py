@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_dc import TINY_DC_CONFIG, INDEX_MAP
 from dcvc_tpu.runtime.dc_codec import DMCDCCodec
 

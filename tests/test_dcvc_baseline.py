@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_net import (
     DCVCNet, TINY_DCVC_CONFIG, MaskedConv2d,
 )

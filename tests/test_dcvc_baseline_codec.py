@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_net import TINY_DCVC_CONFIG
 from dcvc_tpu.runtime.dcvc_codec import DCVCCodec
 

@@ -4,6 +4,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_dc import (
     DMCDC, TINY_DC_CONFIG, fine_q_scales, INDEX_MAP,
 )

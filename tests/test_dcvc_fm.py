@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_fm import (
     DMCFM, TINY_FM_CONFIG, get_curr_q, laplace_bits,
 )

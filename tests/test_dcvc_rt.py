@@ -5,6 +5,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_rt import (
     DMCRTCodec, TINY_RT_CONFIG, shift_qp, EXTRA_QP,
 )

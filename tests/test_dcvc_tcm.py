@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dcvc_tpu.legacy.dcvc_tcm import DMCTCM, TINY_TCM_CONFIG
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _frames(h, w, n, seed=0):

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from dcvc_tpu.legacy.evc import EVC, TINY_EVC_CONFIG
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _image(h, w, seed=0):

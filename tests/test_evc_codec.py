@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.evc import TINY_EVC_CONFIG
 from dcvc_tpu.runtime.evc_codec import EVCCodec
 

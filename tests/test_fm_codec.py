@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_fm import TINY_FM_CONFIG
 from dcvc_tpu.runtime.fm_codec import DMCFMCodec, cand_to_chw, chw_to_cand
 from dcvc_tpu.core.masks import phase_terms_4x

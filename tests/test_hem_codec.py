@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_hem import TINY_HEM_CONFIG
 from dcvc_tpu.runtime.hem_codec import DMCHEMCodec
 

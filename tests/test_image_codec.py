@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.runtime import DMCICodec
 from dcvc_tpu.models.dmci import DMCI, TINY_CONFIG
 

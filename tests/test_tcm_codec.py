@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.legacy.dcvc_tcm import TINY_TCM_CONFIG
 from dcvc_tpu.runtime.tcm_codec import DMCTCMCodec
 

@@ -14,8 +14,8 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "src")),
-                                reason="reference repo not mounted")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "src")),
+                                reason="reference repo not mounted")]
 
 
 @pytest.fixture(scope="module")

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dcvc_tpu.models.dmc_ht import (
     DMCHT, TINY_HT_CONFIG, TINY_HTL_CONFIG,
 )
