@@ -192,3 +192,28 @@ class EVCCodec:
         y_hat_acc = p["step1"](y_q1, means1, y_hat0, q_step)
         x_hat = p["synthesis"](y_hat_acc, qs)
         return {"x_hat": x_hat}
+
+
+class IntraNoARCodec(EVCCodec):
+    """The HEM/DC/FM family intra codec (IntraNoAR,
+    DCVC-HEM/src/models/image_model.py:15-200) under the same dual-
+    checkerboard runtime machinery; its recon seeds the P-codecs' DPBs
+    (set_ref_frame)."""
+
+    @classmethod
+    def init_random(cls, rng=None, cfg=None, dtype=jnp.float32,
+                    init_scale=1.0):
+        from ..legacy.hem_intra import IntraNoAR, INTRA_NOAR_CONFIG
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        cfg = cfg or INTRA_NOAR_CONFIG
+        model = IntraNoAR(cfg=cfg, dtype=dtype)
+        x = jnp.zeros((1, 64, 64, 3), dtype)
+        init = jax.jit(lambda r: model.init({"params": r}, x))
+        params = init(rng)["params"]
+        if init_scale != 1.0:
+            def scale_kernels(path, leaf):
+                if path[-1].key == "kernel":
+                    return leaf * init_scale
+                return leaf
+            params = jax.tree_util.tree_map_with_path(scale_kernels, params)
+        return cls(model, params)

@@ -32,3 +32,30 @@ def test_evc_roundtrip(evc_codec):
         out = evc_codec.decompress(res["bit_stream"], qs, h, w)
         np.testing.assert_array_equal(np.asarray(out["x_hat"]),
                                       np.asarray(res["x_hat"]))
+
+
+def test_intra_noar_roundtrip():
+    """IntraNoAR (HEM/DC/FM intra) under the same runtime."""
+    from dcvc_tpu.legacy.hem_intra import TINY_INTRA_NOAR_CONFIG
+    from dcvc_tpu.runtime.evc_codec import IntraNoARCodec
+
+    codec = IntraNoARCodec.init_random(jax.random.PRNGKey(1),
+                                       cfg=TINY_INTRA_NOAR_CONFIG)
+    h = w = 64
+    x = _image(h, w, seed=9)
+    res = codec.compress(jnp.asarray(x), 1.1, h=h, w=w)
+    assert len(res["bit_stream"]) > 8
+    out = codec.decompress(res["bit_stream"], 1.1, h, w)
+    np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                  np.asarray(res["x_hat"]))
+
+
+def test_intra_noar_train_forward():
+    from dcvc_tpu.legacy.hem_intra import IntraNoAR, TINY_INTRA_NOAR_CONFIG
+
+    model = IntraNoAR(cfg=TINY_INTRA_NOAR_CONFIG, dtype=jnp.float32)
+    x = jnp.asarray(_image(64, 64, seed=2))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = model.apply(params, x, rng=jax.random.PRNGKey(1))
+    assert out["x_hat"].shape == (1, 64, 64, 3)
+    assert np.isfinite(float(out["bpp"][0]))
