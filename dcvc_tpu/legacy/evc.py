@@ -3,8 +3,10 @@ residual up/down blocks + depth-conv blocks, hyperprior with a dual
 (2-pass cross-checkerboard) spatial prior, per-model q_basic * q_scale
 anchors (4 rate points, interpolable).
 
-Base (LL) topology; the scalable-encoder variants (LM/LS/SL/...) swap
-encoder depth and are scheduled for a later round.
+Covers the base topology with the L/M/S channel-plan pairs
+(EVC_LL/LM/LS/SL/ML/SS/MM/MS, image_model.py:203-258) and the
+scalable-encoder variant (ScalableEVC: enc_num encoders whose latents
+are progressively averaged, scalable_encoder_model.py:15-100).
 """
 
 import dataclasses
@@ -23,13 +25,39 @@ from .fm_layers import ConvK, DepthConvFM, ConvFFNFM, lrelu
 
 @dataclasses.dataclass(frozen=True)
 class EVCConfig:
-    channels: tuple = (192, 192, 192, 192)   # 2x, 4x, 8x, 16x
+    channels: tuple = (192, 192, 192, 192)   # enc plan: 2x, 4x, 8x, 16x
+    dec_channels: tuple = None                # dec plan (None = channels)
     n: int = 192                              # latent/hyper channels
     anchor_num: int = 4
+    # scalable-encoder variant (scalable_encoder_model.py): number of
+    # progressive encoders and which one the forward uses
+    enc_num: int = 1
+    forward_enc_id: int = 0
 
+    @property
+    def dec_plan(self):
+        return self.dec_channels or self.channels
+
+
+# reference channel plans (image_model.py:203-258)
+_L = (192, 192, 192, 192)
+_M = (128, 128, 192, 192)
+_S = (64, 64, 128, 192)
 
 EVC_CONFIG = EVCConfig()
+EVC_LL_CONFIG = EVCConfig(channels=_L, dec_channels=_L)
+EVC_MM_CONFIG = EVCConfig(channels=_M, dec_channels=_M)
+EVC_SS_CONFIG = EVCConfig(channels=_S, dec_channels=_S)
+EVC_LM_CONFIG = EVCConfig(channels=_L, dec_channels=_M)
+EVC_LS_CONFIG = EVCConfig(channels=_L, dec_channels=_S)
+EVC_ML_CONFIG = EVCConfig(channels=_M, dec_channels=_L)
+EVC_SL_CONFIG = EVCConfig(channels=_S, dec_channels=_L)
+EVC_MS_CONFIG = EVCConfig(channels=_M, dec_channels=_S)
+SCALABLE_EVC_CONFIG = EVCConfig(channels=_S, dec_channels=_L, enc_num=4,
+                                forward_enc_id=3)
 TINY_EVC_CONFIG = EVCConfig(channels=(8, 8, 8, 8), n=8)
+TINY_SCALABLE_EVC_CONFIG = EVCConfig(channels=(8, 8, 8, 8), n=8,
+                                     enc_num=3, forward_enc_id=2)
 
 
 class EVCDepthConv(nn.Module):
@@ -145,11 +173,10 @@ class EVC(nn.Module):
     cfg: EVCConfig = EVC_CONFIG
     dtype: jnp.dtype = jnp.float32
 
-    def setup(self):
-        c, d = self.cfg, self.dtype
-        c2, c4, c8, c16 = c.channels
-        N = c.n
-        self.enc = nn.Sequential([
+    def _make_enc(self, plan, name):
+        c2, c4, c8, c16 = plan
+        d = self.dtype
+        return nn.Sequential([
             EVCResidualBlockWithStride(c2, dtype=d),
             EVCDepthConvBlock(c2, dtype=d),
             EVCResidualBlockWithStride(c4, dtype=d),
@@ -157,17 +184,30 @@ class EVC(nn.Module):
             EVCResidualBlockWithStride(c8, dtype=d),
             EVCDepthConvBlock(c8, dtype=d),
             ConvK(c16, stride=2, dtype=d),
-        ])
+        ], name=name)
+
+    def setup(self):
+        c, d = self.cfg, self.dtype
+        N = c.n
+        if c.enc_num > 1:
+            # scalable-encoder variant: enc_num progressive encoders
+            # (scalable_encoder_model.py:27-44)
+            self.encs = [self._make_enc(c.channels, f"encs_{i}")
+                         for i in range(c.enc_num)]
+        else:
+            self.enc = self._make_enc(c.channels, "enc")
+        d2, d4, d8, d16 = c.dec_plan
         self.dec = nn.Sequential([
-            EVCDepthConvBlock(c16, dtype=d),
-            EVCResidualBlockUpsample(c8, dtype=d),
-            EVCDepthConvBlock(c8, dtype=d),
-            EVCResidualBlockUpsample(c4, dtype=d),
-            EVCDepthConvBlock(c4, dtype=d),
-            EVCResidualBlockUpsample(c2, dtype=d),
-            EVCDepthConvBlock(c2, dtype=d),
+            EVCDepthConvBlock(d16, dtype=d),
+            EVCResidualBlockUpsample(d8, dtype=d),
+            EVCDepthConvBlock(d8, dtype=d),
+            EVCResidualBlockUpsample(d4, dtype=d),
+            EVCDepthConvBlock(d4, dtype=d),
+            EVCResidualBlockUpsample(d2, dtype=d),
+            EVCDepthConvBlock(d2, dtype=d),
         ])
         self.dec_out = ConvK(3 * 4, kernel=1, dtype=d)  # subpel_conv1x1 x2
+
 
         self.hyper_enc = nn.Sequential([
             EVCDepthConvBlock(N, dtype=d),
@@ -237,9 +277,20 @@ class EVC(nn.Module):
     # ----------------------------------------- inference stage methods
     # (reference image_model.py:131-200; shared enc/dec programs)
 
+    def _encode_latent(self, x):
+        """Single encoder, or the scalable progressive average up to
+        forward_enc_id (scalable_add with detach is a plain running mean
+        at inference, scalable_encoder_model.py:15-24)."""
+        c = self.cfg
+        if c.enc_num <= 1:
+            return self.enc(x)
+        k = c.forward_enc_id
+        ys = [self.encs[i](x) for i in range(k + 1)]
+        return sum(ys) / (k + 1)
+
     def analysis(self, x, q_scale):
         curr_q = (q_scale * self.q_basic).astype(self.dtype)
-        y = self.enc(x.astype(self.dtype)) / curr_q
+        y = self._encode_latent(x.astype(self.dtype)) / curr_q
         z = self.hyper_enc(y)
         z_int = jnp.clip(jnp.round(z.astype(jnp.float32)),
                          -30000, 30000).astype(jnp.int16)
@@ -276,7 +327,7 @@ class EVC(nn.Module):
             q_scale = self.q_scale[0, 0, 0, 0]
         curr_q = (q_scale * self.q_basic).astype(d)
 
-        y = self.enc(x.astype(d))
+        y = self._encode_latent(x.astype(d))
         y = y / curr_q
 
         z = self.hyper_enc(y)

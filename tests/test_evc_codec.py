@@ -59,3 +59,33 @@ def test_intra_noar_train_forward():
     out = model.apply(params, x, rng=jax.random.PRNGKey(1))
     assert out["x_hat"].shape == (1, 64, 64, 3)
     assert np.isfinite(float(out["bpp"][0]))
+
+
+def test_evc_scalable_roundtrip():
+    """Scalable-encoder variant: progressive encoder average
+    (scalable_encoder_model.py:27-100) under the same runtime."""
+    from dcvc_tpu.legacy.evc import TINY_SCALABLE_EVC_CONFIG
+
+    codec = EVCCodec.init_random(jax.random.PRNGKey(2),
+                                 cfg=TINY_SCALABLE_EVC_CONFIG)
+    h = w = 64
+    x = _image(h, w, seed=11)
+    res = codec.compress(jnp.asarray(x), 1.0, h=h, w=w)
+    assert len(res["bit_stream"]) > 8
+    out = codec.decompress(res["bit_stream"], 1.0, h, w)
+    np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                  np.asarray(res["x_hat"]))
+
+
+def test_evc_asymmetric_plan_forward():
+    """L/M/S enc-dec channel-plan pairs (image_model.py:203-258)."""
+    from dcvc_tpu.legacy.evc import EVC, EVCConfig
+
+    cfg = EVCConfig(channels=(8, 8, 12, 16), dec_channels=(4, 4, 8, 16),
+                    n=16)
+    model = EVC(cfg=cfg, dtype=jnp.float32)
+    x = jnp.asarray(_image(64, 64, seed=3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)
+    out = model.apply(params, x)
+    assert out["x_hat"].shape == (1, 64, 64, 3)
+    assert np.isfinite(float(out["bpp"][0]))
