@@ -152,8 +152,9 @@ class DCReconGeneration(nn.Module):
     @nn.compact
     def __call__(self, res, ctx):
         c, d = self.cfg, self.dtype
+        # reference arg-order swap: actual concat = [recon_feat, c1]
         f = ConvK(c.ch_1x, dtype=d, name="first_conv")(
-            jnp.concatenate([ctx, res], axis=-1))
+            jnp.concatenate([res, ctx], axis=-1))
         f = HEMUNet(c.ch_1x, dtype=d, name="unet_1")(f)
         f = HEMUNet(c.ch_1x, dtype=d, name="unet_2")(f)
         recon = ConvK(3, dtype=d, name="recon_conv")(f)
@@ -174,7 +175,8 @@ class DMCDC(nn.Module):
                              ch_8x=c.ch_8x, ch_16x=c.ch_16x,
                              offset_group=c.offset_group,
                              offset_num=c.offset_num)
-        self.optic_flow = MESpynet(dtype=d)
+        self.optic_flow = MESpynet(level_kernels=(7, 7, 5, 5),
+                                   dtype=d)
         self.align = OffsetDiversity(fm_cfg, dtype=d)
         self.feature_adaptor_I = ConvK(c.ch_1x, dtype=d)
         self.feature_adaptor = [ConvK(c.ch_1x, kernel=1, dtype=d)

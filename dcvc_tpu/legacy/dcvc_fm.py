@@ -50,8 +50,11 @@ TINY_FM_CONFIG = DMCFMConfig(ch_1x=8, ch_2x=8, ch_4x=8, ch_8x=8, ch_16x=8,
 
 
 def bilinear_downsample_2x(x):
+    """Matches torch F.interpolate(bilinear, align_corners=False)
+    downsampling: NO antialias filter (video_net.py:18-23)."""
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h // 2, w // 2, c), method="linear")
+    return jax.image.resize(x, (b, h // 2, w // 2, c), method="linear",
+                            antialias=False)
 
 
 def laplace_bits(y, sigma):
@@ -249,9 +252,12 @@ class ReconGeneration(nn.Module):
 
     @nn.compact
     def __call__(self, res, ctx):
+        # NOTE the reference calls recon_generation_net(recon_feat, c1)
+        # against a forward(ctx, res) signature (video_model.py:379), so
+        # the ACTUAL concat order is [recon_feat, context1]
         c, d = self.cfg, self.dtype
         f = ConvK(c.ch_1x, dtype=d, name="first_conv")(
-            jnp.concatenate([ctx, res], axis=-1))
+            jnp.concatenate([res, ctx], axis=-1))
         f = UNet2(c.ch_1x, dtype=d, name="unet_1")(f)
         f = UNet2(c.ch_1x, dtype=d, name="unet_2")(f)
         recon = ConvK(3, dtype=d, name="recon_conv")(f)
@@ -268,7 +274,8 @@ class DMCFM(nn.Module):
     def setup(self):
         c = self.cfg
         d = self.dtype
-        self.optic_flow = MESpynet(dtype=d)
+        self.optic_flow = MESpynet(level_kernels=(7, 7, 5, 5),
+                                   dtype=d)
         self.align = OffsetDiversity(c, dtype=d)
         self.mv_encoder = MvEnc(c, dtype=d)
         self.mv_hyper_prior_encoder = nn.Sequential([

@@ -114,10 +114,10 @@ class HEMUNet(nn.Module):
                              name=f"context_refine_{i}")(x3)
         u3 = SubpelConv(64, r=2, kernel=1, dtype=d, name="up3")(x3)
         u3 = ConvBlockResidual(64, dtype=d, name="up_conv3")(
-            jnp.concatenate([u3, x2], axis=-1))
+            jnp.concatenate([x2, u3], axis=-1))
         u2 = SubpelConv(32, r=2, kernel=1, dtype=d, name="up2")(u3)
         return ConvBlockResidual(self.out_ch, dtype=d, name="up_conv2")(
-            jnp.concatenate([u2, x1], axis=-1))
+            jnp.concatenate([x1, u2], axis=-1))
 
 
 class DMCHEM(nn.Module):
@@ -424,8 +424,9 @@ class DMCHEM(nn.Module):
                                      y_q_scale).astype(jnp.float32)
         recon_feat = self.contextual_decoder(y_hat.astype(self.dtype),
                                              c2, c3)
+        # reference arg-order swap: actual concat = [recon_feat, c1]
         feature = self.rg_first_conv(
-            jnp.concatenate([c1, recon_feat], axis=-1))
+            jnp.concatenate([recon_feat, c1], axis=-1))
         feature = self.rg_unet_2(self.rg_unet_1(feature))
         recon = jnp.clip(self.rg_recon_conv(feature).astype(jnp.float32),
                          0.0, 1.0)
@@ -484,8 +485,9 @@ class DMCHEM(nn.Module):
         y_hat = y_hat * curr_y_q
 
         recon_feat = self.contextual_decoder(y_hat, c2, c3)
+        # reference arg-order swap: actual concat = [recon_feat, c1]
         feature = self.rg_first_conv(
-            jnp.concatenate([c1, recon_feat], axis=-1))
+            jnp.concatenate([recon_feat, c1], axis=-1))
         feature = self.rg_unet_2(self.rg_unet_1(feature))
         recon_image = jnp.clip(
             self.rg_recon_conv(feature).astype(jnp.float32), 0.0, 1.0)

@@ -249,8 +249,9 @@ class DMCTCM(nn.Module):
         rf = self.cd_gdn3(self.cd_up3(rf))
         rf = self.cd_res2(jnp.concatenate([rf, c2], axis=-1))
         recon_feat = self.cd_up4(rf)
+        # reference arg-order swap: actual concat = [recon_feat, c1]
         feature = self.rg_res2(self.rg_res1(self.rg_conv(
-            jnp.concatenate([c1, recon_feat], axis=-1))))
+            jnp.concatenate([recon_feat, c1], axis=-1))))
         recon = jnp.clip(self.rg_recon_conv(feature).astype(jnp.float32),
                          0.0, 1.0)
         return recon, feature
@@ -302,8 +303,9 @@ class DMCTCM(nn.Module):
         rf = self.cd_res2(jnp.concatenate([rf, c2], axis=-1))
         recon_feat = self.cd_up4(rf)
 
+        # reference arg-order swap: actual concat = [recon_feat, c1]
         feature = self.rg_res2(self.rg_res1(self.rg_conv(
-            jnp.concatenate([c1, recon_feat], axis=-1))))
+            jnp.concatenate([recon_feat, c1], axis=-1))))
         recon_image = self.rg_recon_conv(feature).astype(jnp.float32)
 
         pixel_num = x.shape[1] * x.shape[2]

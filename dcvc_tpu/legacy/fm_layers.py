@@ -204,7 +204,7 @@ class UNet2(nn.Module):
             x3 = DepthConvBlock4FM(128, dtype=d, name=f"context_refine_{i}")(x3)
         u3 = SubpelConv(64, r=2, kernel=1, dtype=d, name="up3")(x3)
         u3 = DepthConvBlock4FM(64, dtype=d, name="up_conv3")(
-            jnp.concatenate([u3, x2], axis=-1))
+            jnp.concatenate([x2, u3], axis=-1))
         u2 = SubpelConv(32, r=2, kernel=1, dtype=d, name="up2")(u3)
         return DepthConvBlock4FM(self.out_ch, dtype=d, name="up_conv2")(
-            jnp.concatenate([u2, x1], axis=-1))
+            jnp.concatenate([x1, u2], axis=-1))
