@@ -249,7 +249,12 @@ class HTReconHead(nn.Module):
         self.out_b = self.param("out_b", nn.initializers.zeros,
                                 (fd, c.ch_src_intra), jnp.float32)
 
-    def __call__(self, x, for_reset=False):
+    def __call__(self, x, for_reset=False, phase_major=False):
+        """phase_major: emit head channels in (i*8+j)*3+c order (the
+        packed-frame kernel's contract, kernels/depth_to_space.py) by
+        permuting the OUTPUT WEIGHTS — free, and the stored param layout
+        stays checkpoint-compatible.  The reset path always uses the
+        torch order (the 192-ch seed feature feeds adaptor convs)."""
         c = self.cfg
         fd = c.frame_delay
         dt = self.dtype
@@ -263,11 +268,17 @@ class HTReconHead(nn.Module):
             xh = jnp.broadcast_to(x[None], (fd,) + x.shape)
         for blk in self.heads:
             xh = blk(xh)
+        out_w, out_b = self.out_w, self.out_b
+        if phase_major and not for_reset:
+            from ..kernels.depth_to_space import phase_major_perm
+            perm = phase_major_perm(8, 3)
+            out_w = out_w[:, :, perm]
+            out_b = out_b[:, perm]
         out = jnp.stack([
-            jax.lax.dot_general(xh[s], self.out_w[s].astype(dt),
+            jax.lax.dot_general(xh[s], out_w[s].astype(dt),
                                 (((3,), (0,)), ((), ())),
                                 preferred_element_type=dt)
-            + self.out_b[s].astype(dt)
+            + out_b[s].astype(dt)
             for s in range(fd)])
         if for_reset:
             return out[-1]
@@ -382,13 +393,12 @@ class DMCHT(nn.Module):
         Packed layout: a (F, h, w, 3) output tiles the 3-wide minor dim
         at ~2% lane utilization on TPU; merging (w, 3) keeps the minor
         dim lane-wide.  Row-major bytes are identical, so the host
-        reshapes to (F, h, w, 3) as a free view."""
-        out = self.recon_head(feature)          # (F, 1, h8, w8, 192)
-        nf, _, h8, w8, _ = out.shape
-        x = out[:, 0].reshape(nf, h8, w8, 3, 8, 8)   # ch = c*64 + i*8 + j
-        x = x.transpose(0, 1, 4, 2, 5, 3)            # (F, h8, i, w8, j, c)
-        x = x.reshape(nf, h8 * 8, w8 * 8 * 3)
-        x = jnp.clip(x.astype(jnp.float32), -0.5, 0.5)
+        reshapes to (F, h, w, 3) as a free view.  Emission goes through
+        the phase-major packed-frame path (kernels/depth_to_space.py,
+        ~7x faster than the pixel-shuffle transpose chain)."""
+        from ..kernels.depth_to_space import packed_frames
+        out = self.recon_head(feature, phase_major=True)  # (F,1,h8,w8,192)
+        x = packed_frames(out[:, 0])
         return x[:, :out_h, :out_w * 3]
 
     def synthesis(self, y_hat, ctx, qp, out_h, out_w):
