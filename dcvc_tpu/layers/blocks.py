@@ -9,9 +9,38 @@ Design notes (TPU-first):
     compute dtype is bf16 for inference speed, f32 for exactness tests.
 """
 
+import os
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _fused_enabled():
+    """Pallas fused-DCB gate: on for TPU inference unless disabled."""
+    env = os.environ.get("DCVC_TPU_FUSED", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _fused_ok(x, cin, cout, inner, stacked=False):
+    """Static shape gate for the fused kernel (see kernels/fused_dcb.py)."""
+    if x.dtype != jnp.bfloat16 or not _fused_enabled():
+        return False
+    b, h, w = (x.shape[1], x.shape[2], x.shape[3]) if stacked \
+        else (x.shape[0], x.shape[1], x.shape[2])
+    if b != 1 or h % 2 or h < 4:
+        return False
+    if cin % 128 or cout % 128 or inner % 128 or cin > 1024:
+        return False
+    # input-tile VMEM bound even at the smallest row tile
+    if 4 * w * cin * 2 > 3 * 1024 * 1024:
+        return False
+    return True
 
 
 def wsilu(x):
@@ -37,18 +66,22 @@ class _PointwiseConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params=False):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, in_ch, self.features), jnp.float32)
-        w = kernel.reshape(in_ch, self.features).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        w2d = kernel.reshape(in_ch, self.features)
+        if return_params:
+            return w2d, bias
+        w = w2d.astype(self.dtype)
         x = x.astype(self.dtype)
         y = lax.dot_general(
             x, w, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=self.dtype)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
@@ -59,9 +92,10 @@ class Conv1x1(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params=False):
         return _PointwiseConv(self.features, use_bias=self.use_bias,
-                              dtype=self.dtype, name="conv")(x)
+                              dtype=self.dtype, name="conv")(
+            x, return_params=return_params)
 
 
 class Conv3x3(nn.Module):
@@ -78,12 +112,29 @@ class Conv3x3(nn.Module):
                        dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
 
 
+class _DWParams(nn.Module):
+    """Declares the same params nn.Conv would (shape, init, path) so the
+    fused path can fetch them without running the conv."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 1, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class DepthwiseConv3x3(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params=False):
+        if return_params:
+            k, b = _DWParams(self.features, name="conv")()
+            return k[:, :, 0, :], b
         return nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                        feature_group_count=self.features,
                        dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
@@ -109,8 +160,33 @@ class DepthConvBlock(nn.Module):
         if self.dcb2:
             assert not self.shortcut
         inner = self.out_ch // ratio
+        has_adaptor = self.in_ch != self.out_ch or self.force_adaptor
 
-        if self.in_ch != self.out_ch or self.force_adaptor:
+        if _fused_ok(x, x.shape[-1], self.out_ch, inner):
+            from ..kernels.fused_dcb import fused_dcb
+            zc = jnp.zeros((1, 1, 1, self.out_ch), self.dtype)
+            zi = jnp.zeros((1, 1, 1, inner), self.dtype)
+            params = {}
+            if has_adaptor:
+                wa, ba = Conv1x1(self.out_ch, dtype=self.dtype,
+                                 name="adaptor")(x, return_params=True)
+                params.update(wa=wa, ba=ba)
+            params["w1"], params["b1"] = Conv1x1(
+                inner, dtype=self.dtype, name="dc_in")(zc, return_params=True)
+            params["wd"], params["bd"] = DepthwiseConv3x3(
+                inner, dtype=self.dtype, name="dc_dw")(zi, return_params=True)
+            params["w2"], params["b2"] = Conv1x1(
+                self.out_ch, dtype=self.dtype, name="dc_out")(
+                zi, return_params=True)
+            params["w3"], params["b3"] = Conv1x1(
+                4 * inner, dtype=self.dtype, name="ffn_in")(
+                zc, return_params=True)
+            params["w4"], params["b4"] = Conv1x1(
+                self.out_ch, dtype=self.dtype, name="ffn_out")(
+                zi, return_params=True)
+            return fused_dcb(x, params, shortcut=self.shortcut)
+
+        if has_adaptor:
             x = Conv1x1(self.out_ch, dtype=self.dtype, name="adaptor")(x)
 
         h = Conv1x1(inner, dtype=self.dtype, name="dc_in")(x)
@@ -179,6 +255,15 @@ class StackedDCB(nn.Module):
         w2 = declare("dc_out", inner, self.out_ch)
         w3 = declare("ffn_in", self.out_ch, 4 * inner)
         w4 = declare("ffn_out", inner, self.out_ch)
+
+        if _fused_ok(x, self.in_ch, self.out_ch, inner, stacked=True):
+            from ..kernels.fused_dcb import fused_dcb_stacked
+            params = {"w1": w1[0], "b1": w1[1], "wd": wd, "bd": bd,
+                      "w2": w2[0], "b2": w2[1], "w3": w3[0], "b3": w3[1],
+                      "w4": w4[0], "b4": w4[1]}
+            if wa is not None:
+                params["wa"], params["ba"] = wa
+            return fused_dcb_stacked(x.astype(dt), params)
 
         def pconv(v, wb, s):
             w, b = wb

@@ -36,7 +36,9 @@ constexpr uint32_t kDecMask = (1u << kScaleBits) - 1;
 constexpr int kBypassBits = 2;
 constexpr uint32_t kMaxBypassVal = (1u << kBypassBits) - 1;
 constexpr int kMaxParallel = 8;
-constexpr int kLaneBufferSize = 10 * 1000 * 1000;
+// initial per-lane backing store; EncLane::ensure_headroom grows it on
+// demand, so this only sets the no-realloc fast-path capacity
+constexpr int kLaneBufferSize = 1 << 20;
 
 struct CdfEntry {
     uint16_t start;
@@ -233,6 +235,20 @@ struct EncLane {
         state = kRansL;
         ptr = buffer.data() + buffer.size();
         out.clear();
+    }
+
+    // The encoder walks the buffer BACKWARD; a pathological high-entropy
+    // input could otherwise run past the front.  Called once per symbol
+    // (one compare in the common case); grows by doubling, moving the
+    // already-written tail to the end of the new buffer.
+    void ensure_headroom() {
+        if (ptr - buffer.data() >= 64) return;
+        const size_t used =
+            static_cast<size_t>(buffer.data() + buffer.size() - ptr);
+        std::vector<uint8_t> bigger(buffer.size() * 2);
+        std::memcpy(bigger.data() + bigger.size() - used, ptr, used);
+        buffer = std::move(bigger);
+        ptr = buffer.data() + buffer.size() - used;
     }
 
     void flush() {
@@ -438,6 +454,7 @@ void dcvc_rans_encoder_encode_y(void* h, const int16_t* symbols, int n) {
             const int16_t* sym = held->data();
             const int end = offset + size - 1;
             for (int j = end; j >= offset; j--) {
+                lane->ensure_headroom();
                 const int16_t combined = sym[j];
                 const int32_t cdf_idx = combined & 0xff;
                 const int32_t s = static_cast<int8_t>(combined >> 8);
@@ -464,6 +481,7 @@ void dcvc_rans_encoder_encode_z(void* h, const int8_t* symbols, int n, int cdf_o
             const int8_t* sym = held->data();
             const int end = offset + size - 1;
             for (int j = end; j >= offset; j--) {
+                lane->ensure_headroom();
                 const int32_t cdf_idx = (j % ch) + cdf_offset;
                 enc_symbol(lane->state, lane->ptr, sym[j], bank->max_value[cdf_idx],
                            bank->sym.data() + static_cast<size_t>(cdf_idx) * bank->per_size);

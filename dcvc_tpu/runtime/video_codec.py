@@ -352,6 +352,36 @@ class VideoCodecBase:
         recon=True to additionally get x_hat (runs the decode-side recon
         program on the encoder's feature; bit-identical to the
         decoder's)."""
+        return self.compress_finish(self.compress_async(
+            x, qp, reset_feature_memory, h, w, recon))
+
+    def compress_sequence(self, chunks, qps, resets=None, h=None, w=None,
+                          depth=2):
+        """Pipelined encode of a chunk sequence (the cross-chunk analog
+        of the reference's encode-side CPU/GPU overlap,
+        dmc_hts_proxy.cpp:764-830).
+
+        The encoder's device chain never consumes host data, so chunk
+        k+1's network dispatches immediately while chunk k's symbol
+        fetches + host rANS trail behind (`depth` chunks of lag).  On a
+        high-latency link (the dev tunnel pays ~30 ms per blocking
+        sync), throughput becomes device-bound instead of latency-bound.
+
+        Returns a list of per-chunk compress() result dicts."""
+        resets = resets or [False] * len(chunks)
+        pending, results = [], []
+        for x, qp, rs in zip(chunks, qps, resets):
+            pending.append(self.compress_async(x, qp, rs, h, w))
+            if len(pending) > depth:
+                results.append(self.compress_finish(pending.pop(0)))
+        while pending:
+            results.append(self.compress_finish(pending.pop(0)))
+        return results
+
+    def compress_async(self, x, qp, reset_feature_memory=False, h=None,
+                       w=None, recon=False):
+        """Dispatch all device work + start async fetches; no host sync.
+        Returns a state dict for compress_finish."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         x = jnp.asarray(x)
@@ -408,27 +438,34 @@ class VideoCodecBase:
         self.memory = None if reset else mem
         x_hat = p["recon"](feature, qp_arr) if recon else None
 
-        counts_np = [int(c) for c in counts]
+        return {"handles": handles, "counts": counts, "z_int8": z_int8,
+                "qp": int(qp), "x_hat": x_hat, "p": p}
+
+    def compress_finish(self, st):
+        """Host half of compress: wait for fetches, run rANS, emit the
+        bitstream."""
+        p = st["p"]
+        counts_np = [int(c) for c in st["counts"]]
         total = sum(counts_np)
         ec_parallel = rans.compute_ec_parallel(total)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
         if self.single_pass:
-            coded = self._fetcher.finish(p["slice"], handles[0], total)
+            coded = self._fetcher.finish(p["slice"], st["handles"][0], total)
             self.encoder.encode_y(coded)
         else:
             for k in range(self.steps - 1, -1, -1):
-                coded = self._fetcher.finish(p["slice"], handles[k],
+                coded = self._fetcher.finish(p["slice"], st["handles"][k],
                                              counts_np[k])
                 self.encoder.encode_y(coded)
-        z_np = np.asarray(z_int8)
+        z_np = np.asarray(st["z_int8"])
         ch_z = self.cfg.ch_z
-        self.encoder.encode_z(z_np.reshape(-1), int(qp) * ch_z, ch_z)
+        self.encoder.encode_z(z_np.reshape(-1), st["qp"] * ch_z, ch_z)
         self.encoder.flush()
 
         return {
             "bit_stream": self.encoder.get_encoded_stream(),
-            "x_hat": x_hat,
+            "x_hat": st["x_hat"],
             "ec_parallel": ec_parallel,
         }
 
@@ -436,6 +473,43 @@ class VideoCodecBase:
 
     def decompress(self, bit_stream, qp, h, w, ec_part,
                    reset_feature_memory=False):
+        feature, p, qp_arr = self._decompress_core(
+            bit_stream, qp, h, w, ec_part, reset_feature_memory)
+        return {"x_hat": p["recon"](feature, qp_arr)}
+
+    def decompress_sequence(self, streams, qps, h, w, ec_parts,
+                            resets=None):
+        """Pipelined decode of a chunk sequence.
+
+        The decode chain is inherently serial per chunk (the host rANS
+        feeds the device ladder), but the frame RECONSTRUCTION of chunk
+        k-1 is independent of chunk k's entropy decode — so it is
+        dispatched to fill the device while the host waits for chunk k's
+        CDF-index fetch (the decode analog of the reference's
+        entropy/graph overlap, dmc_hts_proxy.cpp:587-709).
+
+        Returns a list of x_hat device arrays (one per chunk)."""
+        resets = resets or [False] * len(streams)
+        outs = []
+        prev = None
+
+        for bs, qp, ec, rs in zip(streams, qps, ec_parts, resets):
+            def fill():
+                if prev is not None:
+                    f0, p0, q0 = prev
+                    outs.append(p0["recon"](f0, q0))
+            feature, p, qp_arr = self._decompress_core(
+                bs, qp, h, w, ec, rs, pre_wait=fill)
+            prev = (feature, p, qp_arr)
+        f0, p0, q0 = prev
+        outs.append(p0["recon"](f0, q0))
+        return outs
+
+    def _decompress_core(self, bit_stream, qp, h, w, ec_part,
+                         reset_feature_memory=False, pre_wait=None):
+        """Entropy decode + device ladder up to the decoder feature/DPB
+        update.  `pre_wait` is called right before the blocking
+        CDF-index fetch (a slot for pipelined device work)."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         p = self._get_programs(h, w)
@@ -461,6 +535,8 @@ class VideoCodecBase:
             start_copies(count)
             handle = self._fetcher.start(p["slice"], packed_idx,
                                          ("dec", h, w))
+            if pre_wait is not None:
+                pre_wait()
             c = int(count)
             idx_np = self._fetcher.finish(p["slice"], handle, c, np.uint8)
             if c > 0:
@@ -484,6 +560,8 @@ class VideoCodecBase:
             start_copies(count)
             handle = self._fetcher.start(p["slice"], packed_idx,
                                          ("dec", h, w, 0))
+            if pre_wait is not None:
+                pre_wait()
             for k in range(self.steps):
                 c = int(count)
                 idx_np = self._fetcher.finish(p["slice"], handle, c,
@@ -509,7 +587,7 @@ class VideoCodecBase:
         feature, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
         self.ref_feature = new_ref
         self.memory = None if reset else mem
-        return {"x_hat": p["recon"](feature, qp_arr)}
+        return feature, p, qp_arr
 
 
 def _init_both_branches(model, x, ref_intra, ref_feat, memory, rng,

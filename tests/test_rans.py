@@ -173,3 +173,27 @@ def test_empty_and_reuse(y_bank, z_bank):
         dec.set_stream(stream)
         dec.decode_z(sym.size, 0, 8)
         np.testing.assert_array_equal(dec.get_decoded(), sym)
+
+
+def test_pathological_buffer_growth(y_bank, z_bank):
+    """A huge maximum-entropy input must grow the per-lane encode buffer
+    (initial capacity 1 MB) without corruption — guards the backward
+    write path (EncLane::ensure_headroom, rans.cc)."""
+    rng = np.random.default_rng(0)
+    n = 3_000_000
+    # extreme symbols: most escape to bypass coding (worst-case bytes)
+    syms = rng.integers(-128, 128, n).astype(np.int8)
+    idx = rng.integers(100, 128, n).astype(np.uint8)  # near-flat scales
+    combined = ((syms.astype(np.int16) << 8)
+                | idx.astype(np.int16)).astype(np.int16)
+
+    enc, dec = make_coders(y_bank, z_bank, 1)
+    enc.reset()
+    enc.encode_y(combined)
+    enc.flush()
+    stream = enc.get_encoded_stream()
+    assert len(stream) > 1 << 20   # really exceeded the initial buffer
+
+    dec.set_stream(stream)
+    dec.decode_y(idx)
+    np.testing.assert_array_equal(dec.get_decoded(), syms)

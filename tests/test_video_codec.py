@@ -86,6 +86,49 @@ class TestHTS:
     def test_reset_path(self, hts_codec):
         _roundtrip_chunks(hts_codec, 64, 64, 8, 3, qp=5, reset_at=1)
 
+    def test_pipelined_sequence_identical(self, hts_codec):
+        """compress_sequence/decompress_sequence (cross-chunk pipelined)
+        must produce byte-identical streams and bit-identical frames to
+        the serial per-chunk API."""
+        codec = hts_codec
+        h = w = 64
+        frames = _frames(h, w, 8 * 3, seed=9)
+        intra = frames[0]
+        chunks = [np.concatenate(frames[u * 8:(u + 1) * 8], axis=-1)
+                  for u in range(3)]
+        qps = [3, 3, 5]
+
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
+        serial = [codec.compress(c, q) for c, q in zip(chunks, qps)]
+        serial_dpb = np.asarray(codec.ref_feature)
+
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
+        piped = codec.compress_sequence(chunks, qps)
+        np.testing.assert_array_equal(np.asarray(codec.ref_feature),
+                                      serial_dpb)
+        for u, (a, b) in enumerate(zip(serial, piped)):
+            assert a["bit_stream"] == b["bit_stream"], f"chunk {u}"
+            assert a["ec_parallel"] == b["ec_parallel"]
+
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
+        serial_out = [codec.decompress(r["bit_stream"], q, h, w,
+                                       r["ec_parallel"])
+                      for r, q in zip(serial, qps)]
+
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
+        piped_out = codec.decompress_sequence(
+            [r["bit_stream"] for r in piped], qps, h, w,
+            [r["ec_parallel"] for r in piped])
+        np.testing.assert_array_equal(np.asarray(codec.ref_feature),
+                                      serial_dpb)
+        for u, (a, b) in enumerate(zip(serial_out, piped_out)):
+            np.testing.assert_array_equal(np.asarray(a["x_hat"]),
+                                          np.asarray(b), f"chunk {u}")
+
 
 class TestHTL:
     def test_two_chunk_roundtrip(self, htl_codec):
