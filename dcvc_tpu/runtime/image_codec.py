@@ -79,6 +79,7 @@ class DMCICodec:
         g = GaussianConditional(skip_thres)
         y_cdf, y_len = g.compute_cdf_bank()
 
+        self._cdf_banks = ((z_cdf, z_len), (y_cdf, y_len))
         self.encoder = rans.RansEncoder()
         self.decoder = rans.RansDecoder()
         for coder in (self.encoder, self.decoder):
@@ -87,6 +88,18 @@ class DMCICodec:
 
         self._programs = {}
         self._fetcher = CodedFetcher()
+        self._decoder_pool = [self.decoder]
+
+    def _get_decoder(self, slot):
+        """Per-in-flight-frame rANS decoders: each holds its own stream
+        state so frame decodes can interleave (decompress_many)."""
+        while slot >= len(self._decoder_pool):
+            d = rans.RansDecoder()
+            (z_cdf, z_len), (y_cdf, y_len) = self._cdf_banks
+            d.set_cdf(z_cdf, z_len, 0)
+            d.set_cdf(y_cdf, y_len, 1)
+            self._decoder_pool.append(d)
+        return self._decoder_pool[slot]
 
     @classmethod
     def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16, **kwargs):
@@ -226,6 +239,25 @@ class DMCICodec:
         Returns dict(bit_stream, x_hat, ec_parallel) like the reference
         DMCI.compress (image_model.py:194-212).
         """
+        return self.compress_finish(self.compress_async(x, qp, h, w))
+
+    def compress_many(self, images, qps, depth=2):
+        """Pipelined encode of independent images: image k+1's device
+        chain dispatches while image k's symbol fetches + host rANS
+        trail behind (the cross-frame analog of the reference's
+        enc_1/entropy overlap, dmci_proxy.cpp:296-421)."""
+        pending, results = [], []
+        for x, qp in zip(images, qps):
+            pending.append(self.compress_async(x, qp))
+            if len(pending) > depth:
+                results.append(self.compress_finish(pending.pop(0)))
+        while pending:
+            results.append(self.compress_finish(pending.pop(0)))
+        return results
+
+    def compress_async(self, x, qp, h=None, w=None):
+        """Device half of compress: dispatch the full encode chain and
+        start all symbol fetches; no host sync."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         x = jnp.asarray(x)
         h = x.shape[1] if h is None else h
@@ -256,10 +288,18 @@ class DMCICodec:
                 y_hat = out
         x_hat = p["synthesis"](y_hat, qp_arr)
 
-        counts_np = [int(c) for c in counts]
-        coded = [self._fetcher.finish(p["slice"], handles[k], counts_np[k])
+        return {"p": p, "handles": handles, "counts": counts,
+                "z_int8": z_int8, "qp": int(qp), "x_hat": x_hat}
+
+    def compress_finish(self, st):
+        """Host half of compress: wait for fetches, run rANS, emit the
+        bitstream."""
+        p = st["p"]
+        counts_np = [int(c) for c in st["counts"]]
+        coded = [self._fetcher.finish(p["slice"], st["handles"][k],
+                                      counts_np[k])
                  for k in range(4)]
-        z_np = np.asarray(z_int8)
+        z_np = np.asarray(st["z_int8"])
 
         total = sum(counts_np)
         ec_parallel = rans.compute_ec_parallel(total)
@@ -268,12 +308,12 @@ class DMCICodec:
         for k in range(3, -1, -1):  # reverse step order (dmci_proxy.cpp:838)
             self.encoder.encode_y(coded[k])
         ch_z = self.cfg.ch_z
-        self.encoder.encode_z(z_np.reshape(-1), int(qp) * ch_z, ch_z)
+        self.encoder.encode_z(z_np.reshape(-1), st["qp"] * ch_z, ch_z)
         self.encoder.flush()
 
         return {
             "bit_stream": self.encoder.get_encoded_stream(),
-            "x_hat": x_hat,
+            "x_hat": st["x_hat"],
             "ec_parallel": ec_parallel,
         }
 
@@ -281,17 +321,59 @@ class DMCICodec:
 
     def decompress(self, bit_stream, qp, h, w, ec_part):
         """Returns dict(x_hat) with x_hat (1, h, w, 3) f32 in [-0.5, 0.5]."""
+        out = {}
+        for _ in self._decompress_gen(self.decoder, bit_stream, qp, h, w,
+                                      ec_part, out):
+            pass
+        return out
+
+    def decompress_many(self, streams, qps, h, w, ec_parts, depth=4):
+        """Pipelined decode of independent images.
+
+        Each image's 4-step ladder is serial (host rANS feeds the device
+        steps), but with `depth` images in flight the blocking fetches of
+        image i overlap the already-dispatched device steps of images
+        i+1.. — a round-robin over per-image decode coroutines, each
+        holding its own rANS decoder.  Cross-frame generalization of the
+        reference's interleaved {CPU entropy <-> GPU graph} decode
+        (dmci_proxy.cpp:423-602)."""
+        jobs = list(zip(streams, qps, ec_parts))
+        outs = [{} for _ in jobs]
+        live, slots, next_i = [], list(range(depth)), 0
+        while live or next_i < len(jobs):
+            while slots and next_i < len(jobs):
+                bs, qp, ec = jobs[next_i]
+                slot = slots.pop(0)
+                gen = self._decompress_gen(
+                    self._get_decoder(slot), bs, qp, h, w, ec,
+                    outs[next_i])
+                live.append((gen, slot))
+                next_i += 1
+            for item in list(live):
+                gen, slot = item
+                try:
+                    next(gen)
+                except StopIteration:
+                    live.remove(item)
+                    slots.append(slot)
+        return outs
+
+    def _decompress_gen(self, decoder, bit_stream, qp, h, w, ec_part, out):
+        """Decode coroutine: yields at the points where the next action
+        would block on device->host data, so a scheduler can interleave
+        other frames' device dispatches in the gaps."""
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         p = self._get_programs(h, w)
         ph, pw, yh, yw, zh, zw, n_cand = p["dims"]
         ch_z, ch_y = self.cfg.ch_z, self.cfg.ch_y
         qp_arr = jnp.int32(qp)
 
-        self.decoder.set_parallel(ec_part)
-        self.decoder.set_stream(bit_stream)
+        decoder.set_parallel(ec_part)
+        decoder.set_stream(bit_stream)
         z_num = zh * zw * ch_z
-        self.decoder.decode_z(z_num, int(qp) * ch_z, ch_z)
-        z_int8 = jnp.asarray(self.decoder.get_decoded().reshape(1, zh, zw, ch_z))
+        decoder.decode_z(z_num, int(qp) * ch_z, ch_z)
+        yield  # z entropy decode proceeds in the C++ lanes meanwhile
+        z_int8 = jnp.asarray(decoder.get_decoded().reshape(1, zh, zw, ch_z))
 
         means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
@@ -300,26 +382,26 @@ class DMCICodec:
         handle = self._fetcher.start(p["slice"], packed_idx,
                                      ("dec", h, w, 0))
         for k in range(4):
+            yield  # count/index D2H in flight
             c = int(count)
             idx_np = self._fetcher.finish(p["slice"], handle, c, np.uint8)
             if c > 0:
-                self.decoder.decode_y(idx_np)
-                decoded = self.decoder.get_decoded()
+                decoder.decode_y(idx_np)
+                decoded = decoder.get_decoded()
                 pad = np.zeros(_round_bucket(c, n_cand), np.int8)
                 pad[:c] = decoded
             else:
                 pad = np.zeros(min(BUCKET, n_cand), np.int8)
             y_q = p["expand"](jnp.asarray(pad), packed_pos)
-            out = p["step"][k](y_q, means, y_hat, ctx)
+            step_out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
-                y_hat, means, packed_idx, packed_pos, count, cond = out
+                y_hat, means, packed_idx, packed_pos, count, cond = step_out
                 # next step's count/indexes start their D2H now, hiding
                 # behind this step's host rANS + device accumulate
                 start_copies(count)
                 handle = self._fetcher.start(p["slice"], packed_idx,
                                              ("dec", h, w, k + 1))
             else:
-                y_hat = out
+                y_hat = step_out
 
-        x_hat = p["synthesis"](y_hat, qp_arr)
-        return {"x_hat": x_hat}
+        out["x_hat"] = p["synthesis"](y_hat, qp_arr)

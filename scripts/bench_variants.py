@@ -1,0 +1,169 @@
+"""Per-variant 1080p speed benchmark: DMCI (UF-Intra), HTL, HTS.
+
+The reference publishes per-variant speed claims (UF-Intra 81.5/95.0 FPS
+on A100, /root/reference/README.md §Image; DCVC-RT 125.2/112.8 FPS
+video) — this script produces the repo's per-variant numbers with the
+same protocol as bench.py (skip_thres 0.15, warm-up discarded, bit-exact
+round-trip gate).
+
+Prints one JSON line per variant to stdout.
+
+Usage: PYTHONPATH=/root/.axon_site:. python scripts/bench_variants.py [dmci|htl|hts]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_frames(h, w, n, rng):
+    from scipy.signal import convolve2d
+    k = np.ones((8, 8), np.float32) / 64.0
+    base = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    for c in range(3):
+        base[:, :, c] = convolve2d(base[:, :, c], k, mode="same",
+                                   boundary="symm")
+    return [np.clip(base + rng.normal(0, 0.005, (h, w, 3)).astype(np.float32),
+                    0, 1) - 0.5 for _ in range(n)]
+
+
+def sync1(arr):
+    return np.asarray(arr.ravel()[0:1])
+
+
+def bench_dmci(jax, jnp, h, w):
+    from dcvc_tpu.runtime.image_codec import DMCICodec
+    codec = DMCICodec.init_random(jax.random.PRNGKey(0),
+                                  dtype=jnp.bfloat16, skip_thres=0.15)
+    # random weights at default init produce ~50%-coded 11-bit/sym noise
+    # (bpp 5.5 — 20x any trained operating point) and the bench becomes a
+    # pure D2H test; 0.65x kernel scaling lands at ~15% coded / bpp 0.26,
+    # a realistic high-quality point for a 1080p learned image codec
+    codec.params = jax.tree_util.tree_map_with_path(
+        lambda p, l: np.asarray(l * 0.65) if p[-1].key == "kernel" else l,
+        codec.params)
+    rng = np.random.default_rng(0)
+    n = 8
+    frames = [jnp.asarray(f[None]) for f in make_frames(h, w, n, rng)]
+    sync1(jax.device_put(frames[0]))  # enter real-sync mode
+    qp = 32
+
+    warmup, iters = 1, 3
+    enc_times, dec_times = [], []
+    for i in range(warmup + iters):
+        t0 = time.perf_counter()
+        results = codec.compress_many(frames, [qp] * n)
+        sync1(results[-1]["x_hat"])
+        t1 = time.perf_counter()
+
+        t2 = time.perf_counter()
+        outs = codec.decompress_many([r["bit_stream"] for r in results],
+                                     [qp] * n, h, w,
+                                     [r["ec_parallel"] for r in results])
+        sync1(outs[-1]["x_hat"])
+        t3 = time.perf_counter()
+        print(f"# dmci iter {i}: {n}f enc {(t1-t0)*1000:.0f} ms "
+              f"dec {(t3-t2)*1000:.0f} ms", file=sys.stderr, flush=True)
+        if i >= warmup:
+            enc_times.append((t1 - t0) / n)
+            dec_times.append((t3 - t2) / n)
+        for r, o in zip(results, outs):
+            if not np.array_equal(np.asarray(r["x_hat"]),
+                                  np.asarray(o["x_hat"])):
+                print(json.dumps({"metric": "dmci_1080p_encdec_fps",
+                                  "value": 0.0, "unit": "fps",
+                                  "error": "round-trip mismatch"}))
+                return
+    t_enc, t_dec = float(np.mean(enc_times)), float(np.mean(dec_times))
+    base = 1.0 / (1.0 / 81.5 + 1.0 / 95.0)   # UF-Intra A100 cycle
+    fps = 1.0 / (t_enc + t_dec)
+    print(json.dumps({"metric": "dmci_1080p_encdec_fps",
+                      "value": round(fps, 3), "unit": "fps",
+                      "vs_baseline": round(fps / base, 4),
+                      "enc_fps": round(1.0 / t_enc, 1),
+                      "dec_fps": round(1.0 / t_dec, 1)}))
+
+
+def bench_ht(jax, jnp, h, w, variant):
+    from dcvc_tpu.models.dmc_ht import HTL_CONFIG, HTS_CONFIG
+    from dcvc_tpu.runtime.video_codec import DMCHTCodec
+    cfg = HTL_CONFIG if variant == "htl" else HTS_CONFIG
+    codec = DMCHTCodec.init_random(jax.random.PRNGKey(0), cfg=cfg,
+                                   dtype=jnp.bfloat16, skip_thres=0.15,
+                                   init_scale=0.5)
+    rng = np.random.default_rng(0)
+    n_chunks, fd = 6, 8
+    frames = make_frames(h, w, n_chunks * fd, rng)
+    chunks = [jnp.asarray(np.concatenate(
+        [f[None] for f in frames[ci * fd:(ci + 1) * fd]], axis=-1))
+        for ci in range(n_chunks)]
+    intra = jax.device_put(chunks[0][..., :3])
+    sync1(intra)
+    qp = 32
+    qps = [qp] * n_chunks
+    n_frames = n_chunks * fd
+
+    eq_check = jax.jit(lambda a, b: jnp.all(a == b))
+    warmup, iters = 2, 3
+    enc_times, dec_times = [], []
+    for i in range(warmup + iters):
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
+        t0 = time.perf_counter()
+        results = codec.compress_sequence(chunks, qps)
+        sync1(codec.ref_feature)
+        t1 = time.perf_counter()
+        enc_ref = codec.ref_feature
+
+        streams = [r["bit_stream"] for r in results]
+        ecs = [r["ec_parallel"] for r in results]
+
+        codec.clear_dpb()
+        codec.add_ref_feature_from_frame(intra)
+        t2 = time.perf_counter()
+        outs = codec.decompress_sequence(streams, qps, h, w, ecs)
+        sync1(outs[-1])
+        t3 = time.perf_counter()
+        print(f"# {variant} iter {i}: {n_frames}f enc {(t1-t0)*1000:.0f} ms "
+              f"dec {(t3-t2)*1000:.0f} ms", file=sys.stderr, flush=True)
+        if i >= warmup:
+            enc_times.append((t1 - t0) / n_frames)
+            dec_times.append((t3 - t2) / n_frames)
+        if not bool(eq_check(enc_ref, codec.ref_feature)):
+            print(json.dumps({"metric": f"dmc_{variant}_1080p_encdec_fps",
+                              "value": 0.0, "unit": "fps",
+                              "error": "round-trip mismatch"}))
+            return
+    t_enc, t_dec = float(np.mean(enc_times)), float(np.mean(dec_times))
+    base = 1.0 / (1.0 / 125.2 + 1.0 / 112.8)
+    fps = 1.0 / (t_enc + t_dec)
+    print(json.dumps({"metric": f"dmc_{variant}_1080p_encdec_fps",
+                      "value": round(fps, 3), "unit": "fps",
+                      "vs_baseline": round(fps / base, 4),
+                      "enc_fps": round(1.0 / t_enc, 1),
+                      "dec_fps": round(1.0 / t_dec, 1)}))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dcvc_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import jax.numpy as jnp
+
+    which = sys.argv[1:] or ["dmci", "htl", "hts"]
+    h, w = 1080, 1920
+    if "dmci" in which:
+        bench_dmci(jax, jnp, h, w)
+    if "htl" in which:
+        bench_ht(jax, jnp, h, w, "htl")
+    if "hts" in which:
+        bench_ht(jax, jnp, h, w, "hts")
+
+
+if __name__ == "__main__":
+    main()

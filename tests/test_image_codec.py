@@ -86,3 +86,30 @@ class TestRoundTrip:
                                result["ec_parallel"])
         np.testing.assert_array_equal(np.asarray(result["x_hat"]),
                                       np.asarray(out["x_hat"]))
+
+
+class TestPipelined:
+    def test_many_identical_to_serial(self, codec):
+        """compress_many/decompress_many (cross-image pipelined) must be
+        byte-identical to the serial per-image API."""
+        h = w = 64
+        images = [_rand_image(h, w, seed=s) for s in range(5)]
+        qps = [0, 3, 3, 7, 5]
+
+        serial = [codec.compress(x, q) for x, q in zip(images, qps)]
+        piped = codec.compress_many(images, qps)
+        for u, (a, b) in enumerate(zip(serial, piped)):
+            assert a["bit_stream"] == b["bit_stream"], f"image {u}"
+            assert a["ec_parallel"] == b["ec_parallel"]
+            np.testing.assert_array_equal(np.asarray(a["x_hat"]),
+                                          np.asarray(b["x_hat"]))
+
+        serial_out = [codec.decompress(r["bit_stream"], q, h, w,
+                                       r["ec_parallel"])
+                      for r, q in zip(serial, qps)]
+        piped_out = codec.decompress_many(
+            [r["bit_stream"] for r in piped], qps, h, w,
+            [r["ec_parallel"] for r in piped], depth=3)
+        for u, (a, b) in enumerate(zip(serial_out, piped_out)):
+            np.testing.assert_array_equal(np.asarray(a["x_hat"]),
+                                          np.asarray(b["x_hat"]), f"image {u}")
