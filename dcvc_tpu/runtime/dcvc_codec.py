@@ -39,7 +39,9 @@ class HostAR:
     entropy-parameter chain together with the (temporal+hyper) prior
     params; means/scales follow."""
 
-    def __init__(self, params, ar_scope, ep_scope):
+    def __init__(self, params, ar_scope, ep_scope, scales_first=False):
+        """scales_first: the cheng2020 prior emits (scales, means) halves
+        (priors.py:501 chunk order) where DCVC emits (means, scales)."""
         ar = params[ar_scope]
         k = np.asarray(ar["kernel"], np.float32)        # (5, 5, C, 2C)
         mask = np.ones(k.shape[:2] + (1, 1), np.float32)
@@ -53,6 +55,7 @@ class HostAR:
                     np.asarray(ep[f"layers_{i}"]["bias"], np.float32))
                    for i in (0, 2, 4)]
         self.ksize = k.shape[0]
+        self.scales_first = scales_first
 
     def _params_at(self, window, prior_vec):
         """window: (5, 5, C) padded y_hat crop; prior_vec: (Cp,)."""
@@ -63,6 +66,8 @@ class HostAR:
             if i < 2:
                 v = _lrelu(v)
         c = v.shape[0] // 2
+        if self.scales_first:
+            return v[c:], v[:c]  # means, scales
         return v[:c], v[c:]  # means, scales
 
     def encode(self, y, prior):

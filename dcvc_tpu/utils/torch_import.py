@@ -252,9 +252,109 @@ def key_fn_dmc_ld(path):
 _torch_key_dmci = key_fn_dmci
 
 
-def _convert_leaf(torch_arr, flax_shape):
+# ---------------------------------------------------------------- CompressAI
+# cheng2020-anchor / bmshj2018-hyperprior (DCVC/TCM I-frame models,
+# DCVC-family/DCVC/src/models/{waseda,priors}.py); the torch modules are
+# nn.Sequentials whose indices skip activation slots.
+
+def _seq_key(scope, flax_idx, torch_indices, sub, leaf, deconv_at=()):
+    ti = torch_indices[flax_idx]
+    parts = [f"{scope}.{ti}"] + sub
+    key = ".".join(parts + [leaf])
+    if flax_idx in deconv_at and leaf == "weight":
+        return ("deconv", key)
+    return key
+
+
+def _compressai_sub(sub):
+    """Residual-block / subpel internals -> torch child names."""
+    out = []
+    i = 0
+    while i < len(sub):
+        s = sub[i]
+        nxt = sub[i + 1] if i + 1 < len(sub) else None
+        if s in ("subpel_conv", "upsample") and nxt == "conv":
+            out.append(f"{s}.0")      # subpel_conv3x3 Sequential(conv, PS)
+            i += 2
+            continue
+        out.append(s)
+        i += 1
+    return out
+
+
+# flax list slots that are bare SubpelConv3x3 modules: their inner conv
+# is torch Sequential index 0 (subpel_conv3x3, layers.py:56-60)
+_CHENG_SUBPEL_SLOTS = {("h_s", 1), ("h_s", 3), ("g_s", 7)}
+
+
+def key_fn_hyperprior(path):
+    """bmshj2018-hyperprior (priors.py:200-254): g_a/g_s 1:1 Sequential
+    indices (GDN between convs counts), h_a/h_s skip ReLU slots."""
+    segs = list(path)
+    leaf = {"kernel": "weight"}.get(segs[-1], segs[-1])
+    m = re.fullmatch(r"(g_a|g_s|h_a|h_s)_layers_(\d+)", segs[0])
+    assert m, f"unmapped path {path}"
+    scope, idx = m.group(1), int(m.group(2))
+    sub = _compressai_sub(segs[1:-1])
+    if scope == "g_a":
+        return _seq_key("g_a", idx, list(range(7)), sub, leaf)
+    if scope == "g_s":
+        return _seq_key("g_s", idx, list(range(7)), sub, leaf,
+                        deconv_at=(0, 2, 4, 6))
+    if scope == "h_a":
+        return _seq_key("h_a", idx, [0, 2, 4], sub, leaf)
+    return _seq_key("h_s", idx, [0, 2, 4], sub, leaf, deconv_at=(0, 1))
+
+
+def key_fn_cheng2020(path):
+    """cheng2020-anchor (waseda.py:28-95)."""
+    segs = list(path)
+    leaf = {"kernel": "weight"}.get(segs[-1], segs[-1])
+    if segs[0] == "context_prediction_kernel":
+        return "context_prediction.weight"
+    if segs[0] == "context_prediction_bias":
+        return "context_prediction.bias"
+    m = re.fullmatch(r"ep_layers_(\d+)", segs[0])
+    if m:
+        return f"entropy_parameters.{int(m.group(1)) * 2}.{leaf}"
+    m = re.fullmatch(r"(g_a|g_s|h_a|h_s)_layers_(\d+)", segs[0])
+    assert m, f"unmapped path {path}"
+    scope, idx = m.group(1), int(m.group(2))
+    sub = _compressai_sub(segs[1:-1])
+    if (scope, idx) in _CHENG_SUBPEL_SLOTS and sub == ["conv"]:
+        sub = ["0"]
+    if scope in ("g_a", "g_s"):
+        return _seq_key(scope, idx, list(range(8)), sub, leaf)
+    if scope == "h_a":
+        return _seq_key("h_a", idx, [0, 2, 4, 6, 8], sub, leaf)
+    return _seq_key("h_s", idx, [0, 2, 4, 6, 8], sub, leaf)
+
+
+def import_entropy_bottleneck(state_dict, prefix="entropy_bottleneck",
+                              n_filters=4):
+    """Torch EntropyBottleneck params -> the eb_params dict used by
+    entropy/compressai.py (direct copies; entropy_models.py:238-264)."""
+    p = {}
+    for i in range(n_filters + 1):
+        p[f"matrix_{i}"] = np.asarray(
+            state_dict[f"{prefix}._matrices.{i}"], np.float32)
+        p[f"bias_{i}"] = np.asarray(
+            state_dict[f"{prefix}._biases.{i}"], np.float32)
+        if i < n_filters:
+            p[f"factor_{i}"] = np.asarray(
+                state_dict[f"{prefix}._factors.{i}"], np.float32)
+    p["quantiles"] = np.asarray(state_dict[f"{prefix}.quantiles"],
+                                np.float32)
+    return p
+
+
+def _convert_leaf(torch_arr, flax_shape, deconv=False):
     arr = np.asarray(torch_arr)
-    if arr.ndim == 4:  # conv kernel (O, I, kh, kw) -> (kh, kw, I, O)
+    if arr.ndim == 4 and deconv:
+        # ConvTranspose2d (I, O, kh, kw) -> flax (kh, kw, I, O) with a
+        # spatial flip (validated vs torch: legacy/dcvc_net.py:_deconv)
+        arr = arr[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    elif arr.ndim == 4:  # conv kernel (O, I, kh, kw) -> (kh, kw, I, O)
         arr = arr.transpose(2, 3, 1, 0)
     if arr.shape != tuple(flax_shape) and arr.size == int(np.prod(flax_shape)):
         # stacked-DCB layouts: 1x1 (1, 1, I, O) -> (I, O); depthwise
@@ -275,6 +375,9 @@ def import_state_dict(state_dict, flax_params, key_fn=key_fn_dmci):
     def visit(path, leaf):
         segs = tuple(p.key for p in path)
         key = key_fn(segs)
+        deconv = False
+        if isinstance(key, tuple) and len(key) == 2 and key[0] == "deconv":
+            deconv, key = True, key[1]
         if isinstance(key, tuple) and len(key) == 2 and key[0] == "stack_last":
             # bitparm pack: torch f1..fL (Q, C, 1, 1) -> ours (Q, C, L)
             keys = key[1]
@@ -311,7 +414,7 @@ def import_state_dict(state_dict, flax_params, key_fn=key_fn_dmci):
                 f"reference key '{key}' (for flax path {'/'.join(segs)}) "
                 f"not found in state_dict")
         used.add(key)
-        return _convert_leaf(state_dict[key], leaf.shape)
+        return _convert_leaf(state_dict[key], leaf.shape, deconv=deconv)
 
     new_params = jax.tree_util.tree_map_with_path(visit, flax_params)
     unused = [k for k in state_dict
