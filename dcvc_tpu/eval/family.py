@@ -1,0 +1,338 @@
+"""Legacy-family end-to-end evaluation: encode -> per-frame `.bin`
+containers -> decode-from-disk -> metrics, for the pre-UF models
+(DCVC, DCVC-TCM, DCVC-HEM, DCVC-DC, DCVC-FM).
+
+Mirrors each family's own eval driver:
+  * DCVC/test_video.py:73-176 (encode_one: gop loop, CompressAI I-frame,
+    per-frame .bin via encode_i/encode_p),
+  * DCVC-HEM/DCVC-DC test_video.py + stream_helper containers,
+  * DCVC-FM/src/utils/test_helper.py:205-280 (single-file NAL/SPS
+    stream, fa_idx schedule index_map=[0,1,0,2,0,2,0,2]).
+
+All legacy models operate on RGB [0, 1] (the reference converts YUV
+test content to PNG first — test_data_to_png.py).  Rate control:
+the encoder and decoder derive the SAME 64-level log-interpolated
+q-scale ladder from the model anchors, and the container carries only
+the integer index (reference interpolate_log semantics,
+DCVC-HEM/src/utils/common.py).
+"""
+
+import math
+import os
+import time
+
+import numpy as np
+
+from ..bitstream import legacy_container as lc
+from ..utils.metrics import calc_psnr
+
+
+def interpolate_log(min_val, max_val, num=64, decreasing=True):
+    """Reference interpolate_log (DCVC-HEM/src/utils/common.py): num
+    log-spaced values; index 0 = max (highest rate) when decreasing."""
+    grid = np.exp(np.linspace(math.log(min_val), math.log(max_val), num))
+    return grid[::-1].copy() if decreasing else grid
+
+
+INDEX_MAP_DC = [0, 1, 0, 2]                  # DC fa refresh (SURVEY 2.4)
+INDEX_MAP_FM = [0, 1, 0, 2, 0, 2, 0, 2]     # FM test_helper.py:146
+
+
+def _psnr_rgb(x_hat, rgb_org):
+    """x_hat (1,h,w,3) f32 [0,1]; rgb_org (3,h,w) uint8-valued."""
+    rec = np.clip(np.round(np.asarray(x_hat)[0] * 255), 0, 255)
+    return calc_psnr(rgb_org.transpose(1, 2, 0).astype(np.float64), rec)
+
+
+class FamilyRunner:
+    """Per-model adapter: builds codecs, encodes/decodes one frame
+    through the model's own container format."""
+
+    def __init__(self, model, stream_dir, rate_num=1, tiny=False,
+                 seed=0, verify_bitexact=True):
+        import jax
+        self.model = model
+        self.stream_dir = stream_dir
+        self.rate_num = rate_num
+        self.verify = verify_bitexact
+        os.makedirs(stream_dir, exist_ok=True)
+        rng = jax.random.PRNGKey(seed)
+        self._build(rng, tiny)
+
+    # ------------------------------------------------------------ build
+
+    def _build(self, rng, tiny):
+        import jax
+        m = self.model
+        r1, r2 = jax.random.split(rng)
+        if m == "dcvc":
+            from ..legacy.compressai_zoo import (Cheng2020Config,
+                                                 TINY_CHENG2020)
+            from ..runtime.compressai_codec import Cheng2020Codec
+            from ..legacy.dcvc_net import DCVCConfig
+            from ..runtime.dcvc_codec import DCVCCodec
+            self.i_codec = Cheng2020Codec.init_random(
+                r1, cfg=TINY_CHENG2020 if tiny else Cheng2020Config())
+            self.p_codec = DCVCCodec.init_random(
+                r2, cfg=self._tiny_cfg(DCVCConfig, tiny), init_scale=0.4)
+        elif m == "tcm":
+            from ..legacy.compressai_zoo import (HyperpriorConfig,
+                                                 TINY_HYPERPRIOR)
+            from ..runtime.compressai_codec import HyperpriorCodec
+            from ..legacy.dcvc_tcm import DMCTCMConfig
+            from ..runtime.tcm_codec import DMCTCMCodec
+            self.i_codec = HyperpriorCodec.init_random(
+                r1, cfg=TINY_HYPERPRIOR if tiny else HyperpriorConfig())
+            self.p_codec = DMCTCMCodec.init_random(
+                r2, cfg=self._tiny_cfg(DMCTCMConfig, tiny), init_scale=0.4)
+        elif m in ("hem", "dc", "fm"):
+            from ..runtime.evc_codec import IntraNoARCodec
+            from ..legacy.hem_intra import (INTRA_NOAR_CONFIG,
+                                            TINY_INTRA_NOAR_CONFIG)
+            self.i_codec = IntraNoARCodec.init_random(
+                r1, cfg=TINY_INTRA_NOAR_CONFIG if tiny else INTRA_NOAR_CONFIG,
+                init_scale=0.4)
+            if m == "hem":
+                from ..legacy.dcvc_hem import DMCHEMConfig
+                from ..runtime.hem_codec import DMCHEMCodec
+                self.p_codec = DMCHEMCodec.init_random(
+                    r2, cfg=self._tiny_cfg(DMCHEMConfig, tiny),
+                    init_scale=0.4)
+            elif m == "dc":
+                from ..legacy.dcvc_dc import DMCDCConfig
+                from ..runtime.dc_codec import DMCDCCodec
+                self.p_codec = DMCDCCodec.init_random(
+                    r2, cfg=self._tiny_cfg(DMCDCConfig, tiny),
+                    init_scale=0.4)
+            else:
+                from ..legacy.dcvc_fm import DMCFMConfig
+                from ..runtime.fm_codec import DMCFMCodec
+                self.p_codec = DMCFMCodec.init_random(
+                    r2, cfg=self._tiny_cfg(DMCFMConfig, tiny),
+                    init_scale=0.4)
+        else:
+            raise ValueError(f"unknown model {self.model}")
+
+        # 64-level q ladders (anchor values stand in for the per-ckpt
+        # anchors the reference reads from trained checkpoints)
+        self.i_q_scales = interpolate_log(0.3, 3.0)
+        self.mv_q_scales = interpolate_log(0.5, 2.0)
+        self.y_q_scales = interpolate_log(0.3, 3.0)
+
+    @staticmethod
+    def _tiny_cfg(cfg_cls, tiny):
+        if not tiny:
+            return None
+        import dcvc_tpu.legacy as lg
+        name = {"DCVCConfig": "dcvc_net.TINY_DCVC_CONFIG",
+                "DMCTCMConfig": "dcvc_tcm.TINY_TCM_CONFIG",
+                "DMCHEMConfig": "dcvc_hem.TINY_HEM_CONFIG",
+                "DMCDCConfig": "dcvc_dc.TINY_DC_CONFIG",
+                "DMCFMConfig": "dcvc_fm.TINY_FM_CONFIG"}[cfg_cls.__name__]
+        mod, attr = name.split(".")
+        return getattr(getattr(lg, mod), attr)
+
+    # ----------------------------------------------------------- encode
+
+    def run_sequence(self, frames_rgb, rate_idx, gop, seq_name="seq"):
+        """frames_rgb: list of (3, h, w) uint8-valued arrays.  Returns a
+        per-sequence result dict (bits/psnr per frame + averages)."""
+        h, w = frames_rgb[0].shape[1:]
+        self._h, self._w = h, w
+        q = int(np.round(np.linspace(12, 51, max(self.rate_num, 2))
+                         [min(rate_idx, self.rate_num - 1)]))
+        frames = [np.ascontiguousarray(
+            f.transpose(1, 2, 0).astype(np.float32) / 255.0)[None]
+            for f in frames_rgb]
+        n = len(frames)
+        stream_paths = [os.path.join(
+            self.stream_dir, f"{seq_name}_q{q}_{i}.bin") for i in range(n)]
+        fm_path = os.path.join(self.stream_dir, f"{seq_name}_q{q}.bin")
+
+        t0 = time.time()
+        enc_recons, frame_types = self._encode(frames, q, gop, h, w,
+                                               stream_paths, fm_path)
+        enc_time = time.time() - t0
+
+        t0 = time.time()
+        dec_recons = self._decode(n, q, gop, h, w, stream_paths, fm_path)
+        dec_time = time.time() - t0
+
+        bits = [os.path.getsize(p) * 8 for p in stream_paths] \
+            if self.model != "fm" else None
+        if self.model == "fm":
+            total_bits = os.path.getsize(fm_path) * 8
+            bits = [total_bits / n] * n   # per-frame split not in format
+
+        result = {"frame_bpp": [], "frame_psnr": [], "frame_type":
+                  frame_types, "bitexact": True}
+        for i in range(n):
+            if self.verify:
+                if not np.array_equal(np.asarray(enc_recons[i]),
+                                      np.asarray(dec_recons[i])):
+                    result["bitexact"] = False
+            result["frame_bpp"].append(bits[i] / (h * w))
+            result["frame_psnr"].append(
+                _psnr_rgb(dec_recons[i], frames_rgb[i]))
+        result["avg_bpp"] = float(np.mean(result["frame_bpp"]))
+        result["avg_psnr"] = float(np.mean(result["frame_psnr"]))
+        i_mask = [t == 0 for t in frame_types]
+        result["avg_psnr_i"] = float(np.mean(
+            [p for p, m in zip(result["frame_psnr"], i_mask) if m]))
+        p_psnrs = [p for p, m in zip(result["frame_psnr"], i_mask) if not m]
+        result["avg_psnr_p"] = float(np.mean(p_psnrs)) if p_psnrs else 0.0
+        result["avg_frame_encoding_time"] = enc_time / n
+        result["avg_frame_decoding_time"] = dec_time / n
+        result["q_index"] = q
+        return result
+
+    def _encode(self, frames, q, gop, h, w, stream_paths, fm_path):
+        import jax.numpy as jnp
+        m = self.model
+        recons, types = [], []
+        fm_f = open(fm_path, "wb") if m == "fm" else None
+        fm_sps = lc.FMSPSHelper() if m == "fm" else None
+        for i, x in enumerate(frames):
+            is_i = i % gop == 0 if gop > 0 else i == 0
+            types.append(0 if is_i else 1)
+            path = stream_paths[i]
+            if is_i:
+                x_hat = self._encode_i(x, q, h, w, path, fm_f, fm_sps)
+                self._seed_dpb(x_hat, h, w)
+            else:
+                x_hat = self._encode_p(x, q, i, h, w, path, fm_f, fm_sps)
+            recons.append(np.asarray(x_hat))
+        if fm_f is not None:
+            fm_f.close()
+        return recons, types
+
+    def _encode_i(self, x, q, h, w, path, fm_f, fm_sps):
+        m = self.model
+        if m in ("dcvc", "tcm"):
+            res = self.i_codec.compress(x, h, w)
+            lc.dcvc_encode_i(h, w, res["y_string"], res["z_string"], path)
+            return res["x_hat"]
+        res = self.i_codec.compress(x, float(self.i_q_scales[q]), h, w)
+        if m == "hem":
+            lc.hem_encode_i(h, w, q, res["bit_stream"], path)
+        elif m == "dc":
+            lc.dc_encode_i(h, w, False, q, res["bit_stream"], path)
+        else:  # fm: NAL stream (fa_idx slot carries 0 for I)
+            sps = {"height": h, "width": w, "qp": q, "fa_idx": 0}
+            sps_id, is_new = fm_sps.get_sps_id(sps)
+            if is_new:
+                lc.fm_write_sps(fm_f, {**sps, "sps_id": sps_id})
+            lc.fm_write_ip(fm_f, True, sps_id, res["bit_stream"])
+        return res["x_hat"]
+
+    def _encode_p(self, x, q, i, h, w, path, fm_f, fm_sps):
+        m = self.model
+        if m == "dcvc":
+            res = self.p_codec.compress(x, h, w)
+            lc.dcvc_encode_p(h, w, res["mv_y_string"], res["mv_z_string"],
+                             res["y_string"], res["z_string"], path)
+        elif m == "tcm":
+            res = self.p_codec.compress(x, h, w)
+            lc.tcm_encode_p(res["bit_stream"], path)
+        elif m == "hem":
+            res = self.p_codec.compress(
+                x, float(self.mv_q_scales[q]), float(self.y_q_scales[q]),
+                h=h, w=w)
+            lc.hem_encode_p(res["bit_stream"], q, q, path)
+        elif m == "dc":
+            fa = INDEX_MAP_DC[i % 4]
+            res = self.p_codec.compress(x, q, fa_idx=fa, h=h, w=w)
+            lc.dc_encode_p(res["bit_stream"], False, q, i % 4, path)
+        else:  # fm
+            fa = INDEX_MAP_FM[i % len(INDEX_MAP_FM)]
+            res = self.p_codec.compress(x, q, fa_idx=fa, h=h, w=w)
+            sps = {"height": h, "width": w, "qp": q, "fa_idx": fa}
+            sps_id, is_new = fm_sps.get_sps_id(sps)
+            if is_new:
+                lc.fm_write_sps(fm_f, {**sps, "sps_id": sps_id})
+            lc.fm_write_ip(fm_f, False, sps_id, res["bit_stream"])
+        return res["x_hat"]
+
+    def _seed_dpb(self, x_hat, h, w):
+        self.p_codec.set_ref_frame(x_hat, h, w)
+
+    # ----------------------------------------------------------- decode
+
+    def _decode(self, n, q, gop, h, w, stream_paths, fm_path):
+        m = self.model
+        recons = []
+        fm_f = open(fm_path, "rb") if m == "fm" else None
+        fm_sps = lc.FMSPSHelper() if m == "fm" else None
+        for i in range(n):
+            is_i = i % gop == 0 if gop > 0 else i == 0
+            path = stream_paths[i]
+            if m == "fm":
+                x_hat, was_i = self._decode_fm_one(fm_f, fm_sps)
+                assert was_i == is_i
+            elif is_i:
+                x_hat = self._decode_i(path)
+            else:
+                x_hat = self._decode_p(path, i)
+            if is_i:
+                self._seed_dpb(x_hat, h, w)
+            recons.append(np.asarray(x_hat))
+        if fm_f is not None:
+            fm_f.close()
+        return recons
+
+    def _decode_i(self, path):
+        m = self.model
+        if m in ("dcvc", "tcm"):
+            h, w, y_s, z_s = lc.dcvc_decode_i(path)
+            return self.i_codec.decompress(y_s, z_s, h, w)["x_hat"]
+        if m == "hem":
+            h, w, q, stream = lc.hem_decode_i(path)
+        else:
+            h, w, _, q, stream = lc.dc_decode_i(path)
+        return self.i_codec.decompress(
+            stream, float(self.i_q_scales[q]), h, w)["x_hat"]
+
+    def _decode_p(self, path, i):
+        m = self.model
+        if m == "dcvc":
+            h, w, mv_y, mv_z, y_s, z_s = lc.dcvc_decode_p(path)
+            return self.p_codec.decompress(mv_y, mv_z, y_s, z_s,
+                                           h, w)["x_hat"]
+        if m == "tcm":
+            stream = lc.tcm_decode_p(path)
+            return self.p_codec.decompress(
+                stream, self._h, self._w)["x_hat"]
+        if m == "hem":
+            mv_q, y_q, stream = lc.hem_decode_p(path)
+            return self.p_codec.decompress(
+                stream, float(self.mv_q_scales[mv_q]),
+                float(self.y_q_scales[y_q]), self._h, self._w)["x_hat"]
+        # dc
+        _, q, fi, stream = lc.dc_decode_p(path)
+        return self.p_codec.decompress(
+            stream, q, self._h, self._w,
+            fa_idx=INDEX_MAP_DC[fi])["x_hat"]
+
+    def _decode_fm_one(self, f, sps_helper):
+        while True:
+            header = lc.fm_read_header(f)
+            if header["nal_type"] == lc.FM_NAL_SPS:
+                sps_helper.add_sps_by_id(
+                    lc.fm_read_sps_remaining(f, header["sps_id"]))
+                continue
+            sps = sps_helper.get_sps_by_id(header["sps_id"])
+            stream = lc.fm_read_ip_remaining(f)
+            if header["nal_type"] == lc.FM_NAL_I:
+                return self.i_codec.decompress(
+                    stream, float(self.i_q_scales[sps["qp"]]),
+                    sps["height"], sps["width"])["x_hat"], True
+            return self.p_codec.decompress(
+                stream, sps["qp"], sps["height"], sps["width"],
+                fa_idx=sps["fa_idx"])["x_hat"], False
+
+    def run(self, frames_rgb, rate_indices, gop, seq_name="seq"):
+        h, w = frames_rgb[0].shape[1:]
+        self._h, self._w = h, w
+        return {f"rate_{r}": self.run_sequence(frames_rgb, r, gop,
+                                               f"{seq_name}_r{r}")
+                for r in rate_indices}

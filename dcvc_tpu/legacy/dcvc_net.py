@@ -175,13 +175,16 @@ class DCVCNet(nn.Module):
         ref_net += [nn.leaky_relu, _conv(2, 3, dtype=d)]
         self.mv_decoder_part2 = nn.Sequential(ref_net)
 
-        ctx_enc = []
-        for i in range(4):
-            out = M if i == 3 else N
-            ctx_enc.append(_conv(out, 5, 2, dtype=d))
-            if i < 3:
-                ctx_enc.append(GDN(N, dtype=d))
-        self.contextual_encoder = nn.Sequential(ctx_enc)
+        # conv5s2/GDN ladder with ResBlock_LeakyReLU_0_Point_1 blocks
+        # after the first two GDNs (DCVC_net.py:80-90)
+        self.contextual_encoder = nn.Sequential([
+            _conv(N, 5, 2, dtype=d), GDN(N, dtype=d),
+            ResBlockLRelu(N, dtype=d),
+            _conv(N, 5, 2, dtype=d), GDN(N, dtype=d),
+            ResBlockLRelu(N, dtype=d),
+            _conv(N, 5, 2, dtype=d), GDN(N, dtype=d),
+            _conv(M, 5, 2, dtype=d),
+        ])
 
         self.contextual_decoder_part1 = nn.Sequential([
             SubpelConv3x3(N, dtype=d), GDN(N, inverse=True, dtype=d),

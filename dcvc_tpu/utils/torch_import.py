@@ -252,6 +252,153 @@ def key_fn_dmc_ld(path):
 _torch_key_dmci = key_fn_dmci
 
 
+# ------------------------------------------------------------- DCVC (2021)
+
+_DCVC_TOP = {
+    "mv_encoder": "mvEncoder", "mv_decoder_part1": "mvDecoder_part1",
+    "mv_decoder_part2": "mvDecoder_part2",
+    "contextual_encoder": "contextualEncoder",
+    "contextual_decoder_part1": "contextualDecoder_part1",
+    "contextual_decoder_part2": "contextualDecoder_part2",
+    "prior_encoder": "priorEncoder", "prior_decoder": "priorDecoder",
+    "mv_prior_encoder": "mvpriorEncoder",
+    "mv_prior_decoder": "mvpriorDecoder",
+    "temporal_prior_encoder": "temporalPriorEncoder",
+    "optic_flow": "opticFlow",
+}
+# scopes whose conv entries are all torch ConvTranspose2d
+_DCVC_DECONV = {"mv_decoder_part1", "prior_decoder", "mv_prior_decoder"}
+
+
+def key_fn_dcvc(path):
+    """DCVC-2021 checkpoint map (DCVC-family/DCVC/src/models/
+    DCVC_net.py:22-181 module tree; flax Sequential list positions match
+    the torch Sequential indices by construction)."""
+    segs = list(path)
+    leaf = {"kernel": "weight"}.get(segs[-1], segs[-1])
+    top = segs[0]
+    if top in ("bit_estimator_z", "bit_estimator_z_mv"):
+        # torch BitEstimator: f1..f4 Bitparm rows (video_net.py);
+        # ours stacks the layer axis last: a (1,C,3), b/h (1,C,4)
+        name = "bitEstimator_z_mv" if top.endswith("_mv") \
+            else "bitEstimator_z"
+        n = 3 if segs[-1] == "a" else 4
+        return ("stack_last", [f"{name}.f{i + 1}.{segs[-1]}"
+                               for i in range(n)])
+    out = [_DCVC_TOP.get(top, top)]
+    deconv = False
+    for i, s in enumerate(segs[1:-1]):
+        is_last = i == len(segs) - 3
+        m = re.fullmatch(r"layers_(\d+)", s)
+        if m:
+            out.append(m.group(1))
+            if top in _DCVC_DECONV:
+                deconv = True
+            continue
+        m = re.fullmatch(r"moduleBasic_(\d+)", s)
+        if m:
+            out.append(f"moduleBasic.{m.group(1)}")
+            continue
+        if s == "conv" and is_last:          # SubpelConv3x3 inner conv
+            out.append("0")
+            continue
+        if top in ("contextual_decoder_part1", "contextual_encoder") \
+                and s in ("conv1", "conv2"):
+            # ResBlockLRelu: torch ResBlock_LeakyReLU_0_Point_1's
+            # Sequential 'conv' indices 0 / 2 (DCVC_net video_net.py)
+            out.append("conv.0" if s == "conv1" else "conv.2")
+            continue
+        out.append(s)
+    key = ".".join(out + [leaf])
+    return ("deconv", key) if deconv and leaf == "weight" else key
+
+
+# ---------------------------------------------------------------- DCVC-TCM
+
+_TCM_DECONV = {"mv_prior_decoder", "contextual_hyper_prior_decoder"}
+
+
+def _tcm_top(s):
+    """Our scope prefix -> torch module path
+    (DCVC-TCM/src/models/video_net_dmc.py module tree)."""
+    m = re.fullmatch(r"ce_(\w+)", s)
+    if m:
+        return f"contextual_encoder.{m.group(1)}"
+    m = re.fullmatch(r"cd_(\w+)", s)
+    if m:
+        return f"contextual_decoder.{m.group(1)}"
+    m = re.fullmatch(r"tp_(\w+)", s)
+    if m:
+        return f"temporal_prior_encoder.{m.group(1)}"
+    m = re.fullmatch(r"fx_conv(\d)", s)
+    if m:
+        return f"feature_extractor.conv{m.group(1)}"
+    m = re.fullmatch(r"fx_res(\d)", s)
+    if m:
+        return f"feature_extractor.res_block{m.group(1)}"
+    m = re.fullmatch(r"cf_res(\d)_(up|out)", s)
+    if m:
+        return f"context_fusion_net.res_block{m.group(1)}_{m.group(2)}"
+    m = re.fullmatch(r"cf_(conv\d_(?:up|out))", s)
+    if m:
+        return f"context_fusion_net.{m.group(1)}"
+    if s == "rg_conv":
+        return "recon_generation_net.feature_conv.0"
+    m = re.fullmatch(r"rg_res(\d)", s)
+    if m:
+        return f"recon_generation_net.feature_conv.{m.group(1)}"
+    if s == "rg_recon_conv":
+        return "recon_generation_net.recon_conv"
+    return s
+
+
+def key_fn_tcm(path):
+    """DCVC-TCM checkpoint map (video_net_dmc.py:17-147)."""
+    segs = list(path)
+    leaf = {"kernel": "weight"}.get(segs[-1], segs[-1])
+    top = segs[0]
+    if top in ("bit_estimator_z", "bit_estimator_z_mv"):
+        n = 3 if segs[-1] == "a" else 4
+        return ("stack_last", [f"{top}.f{i + 1}.{segs[-1]}"
+                               for i in range(n)])
+    out = [_tcm_top(top)]
+    deconv = False
+    rest = segs[1:-1]
+    i = 0
+    while i < len(rest):
+        s = rest[i]
+        nxt = rest[i + 1] if i + 1 < len(rest) else None
+        m = re.fullmatch(r"layers_(\d+)", s)
+        if m:
+            out.append(m.group(1))
+            if top in _TCM_DECONV:
+                deconv = True
+            i += 1
+            continue
+        m = re.fullmatch(r"moduleBasic_(\d+)", s)
+        if m:
+            out.append(f"moduleBasic.{m.group(1)}")
+            i += 1
+            continue
+        if s == "conv" and nxt == "conv":    # SubpelConv wrapper
+            out.append("0")
+            i += 2
+            continue
+        if s in ("conv1", "conv2") and nxt == "conv":  # HEMResBlock ConvK
+            out.append(s)
+            i += 2
+            continue
+        if s == "conv" and nxt is None:      # bare ConvK wrapper
+            i += 1
+            continue
+        out.append(s)
+        i += 1
+    if top == "mv_decoder" and out[-1] in ("0", "4", "6", "8"):
+        deconv = True
+    key = ".".join(out + [leaf])
+    return ("deconv", key) if deconv and leaf == "weight" else key
+
+
 # ---------------------------------------------------------------- CompressAI
 # cheng2020-anchor / bmshj2018-hyperprior (DCVC/TCM I-frame models,
 # DCVC-family/DCVC/src/models/{waseda,priors}.py); the torch modules are

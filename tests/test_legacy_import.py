@@ -1,0 +1,138 @@
+"""Parity tests: import random-initialized reference torch state_dicts
+of the legacy family models into our flax models and compare the
+deterministic eval forwards.  Validates model topology + key maps
+(utils/torch_import.py) for the pre-UF generations.
+
+Skipped when the reference repo is not mounted.
+"""
+
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF_FAM = "/root/reference/DCVC-family"
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(REF_FAM),
+                                 reason="reference repo not mounted")]
+
+
+def _fresh_src(path):
+    for mod in list(sys.modules):
+        if mod == "src" or mod.startswith("src."):
+            del sys.modules[mod]
+    while path in sys.path:
+        sys.path.remove(path)
+    sys.path.insert(0, path)
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.ToPILImage = object
+        tv.transforms.ToTensor = object
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+
+def _frame_pair(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    from scipy.ndimage import gaussian_filter
+    base = gaussian_filter(rng.uniform(0, 1, (h, w, 3)), 3.0)
+    ref = np.clip(base, 0, 1).astype(np.float32)
+    cur = np.clip(np.roll(base, 2, 1)
+                  + rng.normal(0, 0.01, base.shape), 0, 1).astype(np.float32)
+    return ref[None], cur[None]
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return np.abs(a - b).max() / max(np.abs(b).max(), 1e-9)
+
+
+def test_dcvc_forward_parity():
+    import torch
+    _fresh_src(os.path.join(REF_FAM, "DCVC"))
+    from src.models.DCVC_net import DCVC_net
+    from dcvc_tpu.legacy.dcvc_net import DCVCNet
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_dcvc
+
+    torch.manual_seed(0)
+    ref_model = DCVC_net().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = DCVCNet()   # default config matches the torch defaults
+    ref, cur = _frame_pair(64, 64)
+    variables = jax.jit(lambda r: model.init(r, jnp.asarray(ref),
+                                             jnp.asarray(cur)))(
+        jax.random.PRNGKey(0))
+    params, unused = import_state_dict(sd, variables["params"],
+                                       key_fn=key_fn_dcvc)
+    unused = [k for k in unused if not k.endswith(".mask")]
+    assert unused == [], unused[:8]
+
+    out = model.apply({"params": params}, jnp.asarray(ref),
+                      jnp.asarray(cur))
+
+    with torch.no_grad():
+        rt = torch.from_numpy(ref.transpose(0, 3, 1, 2))
+        ct = torch.from_numpy(cur.transpose(0, 3, 1, 2))
+        res = ref_model(rt, ct)
+
+    recon_ref = res["recon_image"].numpy().transpose(0, 2, 3, 1)
+    assert _rel(out["recon_image"], recon_ref) < 2e-2
+    # rate estimates agree (dominated by the same entropy math)
+    bpp_ref = float(res["bpp"])
+    assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
+
+
+def test_tcm_forward_parity():
+    import torch
+    mod = types.ModuleType("pytorch_msssim")
+
+    class _MSSSIM:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            return torch.tensor(0.0)
+    mod.MS_SSIM = _MSSSIM
+    sys.modules["pytorch_msssim"] = mod
+    _fresh_src(os.path.join(REF_FAM, "DCVC-TCM"))
+    from src.models.video_net_dmc import DMC as RefDMC
+    from dcvc_tpu.legacy.dcvc_tcm import DMCTCM
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_tcm
+
+    torch.manual_seed(0)
+    ref_model = RefDMC().eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = DMCTCM()
+    ref, cur = _frame_pair(64, 64)
+    rf = jnp.zeros((1, 64, 64, model.cfg.ch_n))
+    # init both DPB branches: ref_feature None -> adaptor_I, array ->
+    # adaptor_P (reference motion_compensation, video_net_dmc.py:176-179)
+    v0 = jax.jit(lambda r: model.init(
+        r, jnp.asarray(cur), jnp.asarray(ref), None))(jax.random.PRNGKey(0))
+    v1 = jax.jit(lambda r: model.init(
+        r, jnp.asarray(cur), jnp.asarray(ref), rf))(jax.random.PRNGKey(0))
+    merged = dict(v1["params"])
+    for k, val in v0["params"].items():
+        merged.setdefault(k, val)
+    params, unused = import_state_dict(sd, merged, key_fn=key_fn_tcm)
+    assert unused == [], unused[:8]
+
+    out = model.apply({"params": params}, jnp.asarray(cur),
+                      jnp.asarray(ref), None)
+
+    with torch.no_grad():
+        rt = torch.from_numpy(ref.transpose(0, 3, 1, 2))
+        ct = torch.from_numpy(cur.transpose(0, 3, 1, 2))
+        res = ref_model.forward_one_frame(ct, rt, None)
+
+    recon_ref = res["recon_image"].numpy().transpose(0, 2, 3, 1)
+    assert _rel(out["recon_image"], recon_ref) < 2e-2
+    bpp_ref = float(res["bpp"])
+    assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
