@@ -133,17 +133,24 @@ class DMCHEM(nn.Module):
 
         self.optic_flow = MESpynet(dtype=d)
 
+        # HEM's enc/dec ResidualBlock is conv->lrelu->conv->lrelu(+id)
+        # (layers.py:75-99 via get_enc_dec_models, video_net.py:226-248)
+        # — NOT FM's lrelu-first ResBlock
+        def hem_res():
+            return HEMResBlock(MV, start_from_relu=False,
+                               end_with_relu=True, dtype=d)
+
         self.mv_encoder = nn.Sequential([
-            ResidualBlockWithStrideFM(MV, dtype=d), ResBlockFM(MV, dtype=d),
-            ResidualBlockWithStrideFM(MV, dtype=d), ResBlockFM(MV, dtype=d),
-            ResidualBlockWithStrideFM(MV, dtype=d), ResBlockFM(MV, dtype=d),
+            ResidualBlockWithStrideFM(MV, dtype=d), hem_res(),
+            ResidualBlockWithStrideFM(MV, dtype=d), hem_res(),
+            ResidualBlockWithStrideFM(MV, dtype=d), hem_res(),
             ConvK(MV, stride=2, dtype=d),
         ])
         self.mv_decoder = nn.Sequential([
-            ResBlockFM(MV, dtype=d), ResidualBlockUpsampleFM(MV, dtype=d),
-            ResBlockFM(MV, dtype=d), ResidualBlockUpsampleFM(MV, dtype=d),
-            ResBlockFM(MV, dtype=d), ResidualBlockUpsampleFM(MV, dtype=d),
-            ResBlockFM(MV, dtype=d), SubpelConv(2, r=2, kernel=1, dtype=d),
+            hem_res(), ResidualBlockUpsampleFM(MV, dtype=d),
+            hem_res(), ResidualBlockUpsampleFM(MV, dtype=d),
+            hem_res(), ResidualBlockUpsampleFM(MV, dtype=d),
+            hem_res(), SubpelConv(2, r=2, kernel=1, dtype=d),
         ])
         self.mv_hyper_prior_encoder = nn.Sequential([
             ConvK(N, dtype=d), lambda x: lrelu(x),
@@ -194,7 +201,9 @@ class DMCHEM(nn.Module):
         self.cf_res1_out = ResBlockFM(N, dtype=d)
 
         def bottleneck_res(ch):
-            return HEMResBlock(ch, slope=0.1, start_from_relu=False,
+            # HEM flips start_from_relu to True vs TCM's False
+            # (video_model.py:75-80 vs TCM video_net_dmc.py res blocks)
+            return HEMResBlock(ch, slope=0.1, start_from_relu=True,
                                end_with_relu=True, bottleneck=True, dtype=d)
 
         self.ce_conv1 = ConvK(N, stride=2, dtype=d)
@@ -445,7 +454,7 @@ class DMCHEM(nn.Module):
         curr_mv_q = (lower_bound(self.mv_y_q_basic, 0.5)
                      * mv_y_q_scale).astype(d)
         curr_y_q = (lower_bound(self.y_q_basic, 0.5) * y_q_scale).astype(d)
-        rng = jax.random.PRNGKey(0) if rng is None else rng
+        noise_quant = rng is not None
 
         x = x.astype(d)
         ref = dpb["ref_frame"].astype(d)
@@ -492,11 +501,16 @@ class DMCHEM(nn.Module):
         recon_image = jnp.clip(
             self.rg_recon_conv(feature).astype(jnp.float32), 0.0, 1.0)
 
-        rngs = jax.random.split(rng, 4)
-        y_noisy = mcommon.add_noise(y_res, rngs[0])
-        mv_y_noisy = mcommon.add_noise(mv_y_res, rngs[1])
-        z_noisy = mcommon.add_noise(z, rngs[2])
-        mv_z_noisy = mcommon.add_noise(mv_z, rngs[3])
+        if noise_quant:   # training; eval uses the rounded values
+            # (reference video_model.py:461-470)
+            rngs = jax.random.split(rng, 4)
+            y_noisy = mcommon.add_noise(y_res, rngs[0])
+            mv_y_noisy = mcommon.add_noise(mv_y_res, rngs[1])
+            z_noisy = mcommon.add_noise(z, rngs[2])
+            mv_z_noisy = mcommon.add_noise(mv_z, rngs[3])
+        else:
+            y_noisy, mv_y_noisy = y_q, mv_y_q
+            z_noisy, mv_z_noisy = z_hat, mv_z_hat
 
         pixel_num = x.shape[1] * x.shape[2]
         bpp_y = jnp.sum(laplace_bits(y_noisy, scales_hat),

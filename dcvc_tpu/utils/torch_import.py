@@ -399,6 +399,122 @@ def key_fn_tcm(path):
     return ("deconv", key) if deconv and leaf == "weight" else key
 
 
+# ---------------------------------------------------------------- DCVC-HEM
+
+# mv_decoder slots that are ResidualBlockUpsample (their inner bare conv
+# stays '.conv'; elsewhere a bare subpel conv becomes '.0')
+_HEM_RBU_SLOTS = {("mv_decoder", 1), ("mv_decoder", 3), ("mv_decoder", 5)}
+
+
+def _hem_unet_sub(rest):
+    """HEM UNet internals (DCVC-HEM/src/models/video_net.py:99-225).
+    rest: path segs after the unet scope, leaf excluded."""
+    head = rest[0]
+    m = re.fullmatch(r"context_refine_(\d+)", head)
+    if m:  # HEMResBlock: conv1/conv2 ConvK wrappers
+        return f"context_refine.{m.group(1)}.{rest[1]}", None
+    if head in ("up2", "up3"):          # subpel Sequential
+        return f"{head}.0", None
+    # ConvBlockResidual (conv1/conv2/conv3/up_conv2/up_conv3)
+    inner = rest[1]
+    if inner == "conv1":
+        return f"{head}.conv.0", None
+    if inner == "conv2":
+        return f"{head}.conv.2", None
+    if inner == "up_dim":
+        return f"{head}.up_dim", None
+    if inner == "se":
+        idx = "0" if rest[2] == "fc1" else "2"
+        return f"{head}.conv.3.fc.{idx}", "linear"
+    raise KeyError(rest)
+
+
+def _hem_top(s):
+    m = re.fullmatch(r"(ce|cd|tp)_(\w+)", s)
+    if m:
+        scope = {"ce": "contextual_encoder", "cd": "contextual_decoder",
+                 "tp": "temporal_prior_encoder"}[m.group(1)]
+        return f"{scope}.{m.group(2)}"
+    m = re.fullmatch(r"fx_conv(\d)", s)
+    if m:
+        return f"feature_extractor.conv{m.group(1)}"
+    m = re.fullmatch(r"fx_res(\d)", s)
+    if m:
+        return f"feature_extractor.res_block{m.group(1)}"
+    m = re.fullmatch(r"cf_res(\d)_(up|out)", s)
+    if m:
+        return f"context_fusion_net.res_block{m.group(1)}_{m.group(2)}"
+    m = re.fullmatch(r"cf_(conv\d_(?:up|out))", s)
+    if m:
+        return f"context_fusion_net.{m.group(1)}"
+    if s in ("rg_first_conv", "rg_recon_conv"):
+        return f"recon_generation_net.{s[3:]}"
+    m = re.fullmatch(r"rg_unet_(\d)", s)
+    if m:
+        return f"recon_generation_net.unet_{m.group(1)}"
+    return s
+
+
+def key_fn_hem(path):
+    """DCVC-HEM checkpoint map (DCVC-HEM/src/models/video_model.py +
+    video_net.py module trees)."""
+    segs = list(path)
+    if len(segs) == 1:   # top-level leaves (mv_y_q_basic, y_q_scale, ...)
+        return segs[0]
+    leaf = {"kernel": "weight"}.get(segs[-1], segs[-1])
+    top = segs[0]
+    if top in ("bit_estimator_z", "bit_estimator_z_mv"):
+        n = 3 if segs[-1] == "a" else 4
+        return ("stack_last", [f"{top}.f{i + 1}.{segs[-1]}"
+                               for i in range(n)])
+    out = [_hem_top(top)]
+    tag = None
+    rest = segs[1:-1]
+    if top.startswith("rg_unet"):
+        sub, tag = _hem_unet_sub(rest)
+        out.append(sub)
+        rest = []
+    i = 0
+    last_idx = None
+    while i < len(rest):
+        s = rest[i]
+        nxt = rest[i + 1] if i + 1 < len(rest) else None
+        m = re.fullmatch(r"layers_(\d+)", s)
+        if m:
+            last_idx = int(m.group(1))
+            out.append(m.group(1))
+            i += 1
+            continue
+        m = re.fullmatch(r"moduleBasic_(\d+)", s)
+        if m:
+            out.append(f"moduleBasic.{m.group(1)}")
+            i += 1
+            continue
+        if s in ("subpel_conv", "upsample") and nxt == "conv":
+            out.append(f"{s}.0")
+            i += 3   # consume subpel_conv/conv/conv
+            continue
+        if s == "conv" and nxt == "conv":
+            # bare SubpelConv: '.0' — except RBU's plain conv member
+            if (top, last_idx) in _HEM_RBU_SLOTS:
+                out.append("conv")
+            else:
+                out.append("0")
+            i += 2
+            continue
+        if s in ("conv1", "conv2", "downsample", "up_dim") and nxt == "conv":
+            out.append(s)
+            i += 2
+            continue
+        if s == "conv" and nxt is None:      # bare ConvK wrapper
+            i += 1
+            continue
+        out.append(s)
+        i += 1
+    key = ".".join(out + [leaf])
+    return (tag, key) if tag else key
+
+
 # ---------------------------------------------------------------- CompressAI
 # cheng2020-anchor / bmshj2018-hyperprior (DCVC/TCM I-frame models,
 # DCVC-family/DCVC/src/models/{waseda,priors}.py); the torch modules are
@@ -525,6 +641,15 @@ def import_state_dict(state_dict, flax_params, key_fn=key_fn_dmci):
         deconv = False
         if isinstance(key, tuple) and len(key) == 2 and key[0] == "deconv":
             deconv, key = True, key[1]
+        if isinstance(key, tuple) and len(key) == 2 and key[0] == "linear":
+            # torch Linear weight (out, in) -> flax Dense kernel (in, out)
+            k = key[1]
+            used.add(k)
+            arr = np.asarray(state_dict[k], np.float32)
+            if arr.ndim == 2:
+                arr = arr.T
+            assert tuple(arr.shape) == tuple(leaf.shape)
+            return arr
         if isinstance(key, tuple) and len(key) == 2 and key[0] == "stack_last":
             # bitparm pack: torch f1..fL (Q, C, 1, 1) -> ours (Q, C, L)
             keys = key[1]

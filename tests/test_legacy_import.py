@@ -136,3 +136,82 @@ def test_tcm_forward_parity():
     assert _rel(out["recon_image"], recon_ref) < 2e-2
     bpp_ref = float(res["bpp"])
     assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
+
+
+def _stub_msssim():
+    import torch
+    mod = types.ModuleType("pytorch_msssim")
+
+    class _MSSSIM:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            return torch.tensor(0.0)
+
+        def to(self, *a, **k):
+            return self
+    mod.MS_SSIM = _MSSSIM
+    sys.modules["pytorch_msssim"] = mod
+
+
+def test_hem_forward_parity():
+    import torch
+    _stub_msssim()
+    _fresh_src(os.path.join(REF_FAM, "DCVC-HEM"))
+    from src.models.video_model import DMC as RefDMC
+    from dcvc_tpu.legacy.dcvc_hem import DMCHEM
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_hem
+
+    torch.manual_seed(0)
+    ref_model = RefDMC().eval()
+    # scale conv weights down so the random-init forward stays bounded
+    # (at default init the recon explodes to +-1e4 and the comparison
+    # degenerates to clamp saturation); both sides load the SAME sd
+    sd_t = ref_model.state_dict()
+    for k in sd_t:
+        if k.endswith(".weight") and sd_t[k].dim() == 4:
+            sd_t[k] = sd_t[k] * 0.4
+    ref_model.load_state_dict(sd_t)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = DMCHEM()
+    ref, cur = _frame_pair(64, 64)
+    c = model.cfg
+
+    def dpb_of(feature, y, mv_y):
+        return {"ref_frame": jnp.asarray(ref), "ref_feature": feature,
+                "ref_y": y, "ref_mv_y": mv_y}
+
+    dpb0 = dpb_of(None, None, None)
+    dpb1 = dpb_of(jnp.zeros((1, 64, 64, c.ch_n)),
+                  jnp.zeros((1, 4, 4, c.ch_m)),
+                  jnp.zeros((1, 4, 4, c.ch_mv)))
+    v0 = jax.jit(lambda r: model.init(r, jnp.asarray(cur), dpb0,
+                                      1.0, 1.0))(jax.random.PRNGKey(0))
+    v1 = jax.jit(lambda r: model.init(r, jnp.asarray(cur), dpb1,
+                                      1.0, 1.0))(jax.random.PRNGKey(0))
+    merged = dict(v1["params"])
+    for k, val in v0["params"].items():
+        merged.setdefault(k, val)
+    params, unused = import_state_dict(sd, merged, key_fn=key_fn_hem)
+    assert unused == [], unused[:8]
+
+    out = model.apply({"params": params}, jnp.asarray(cur), dpb0, 1.0, 1.0)
+
+    with torch.no_grad():
+        rt = torch.from_numpy(ref.transpose(0, 3, 1, 2))
+        ct = torch.from_numpy(cur.transpose(0, 3, 1, 2))
+        res = ref_model.forward_one_frame(
+            ct, {"ref_frame": rt, "ref_feature": None, "ref_y": None,
+                 "ref_mv_y": None},
+            mv_y_q_scale=torch.tensor([[[[1.0]]]]),
+            y_q_scale=torch.tensor([[[[1.0]]]]))
+
+    # ours clamps the training recon to [0,1] (the reference clamps only
+    # in decompress, video_model.py:362) — compare clamped on both sides
+    recon_ref = np.clip(
+        res["dpb"]["ref_frame"].numpy().transpose(0, 2, 3, 1), 0, 1)
+    assert _rel(out["dpb"]["ref_frame"], recon_ref) < 2e-2
+    bpp_ref = float(res["bpp"])
+    assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
