@@ -26,7 +26,7 @@ from .dcvc_fm import (
 )
 from .dcvc_hem import HEMResBlock, HEMUNet
 from .fm_layers import (
-    ConvK, DepthConvBlockFM, ResidualBlockUpsampleFM,
+    ConvK, DepthConvBlockFM, ResidualBlockUpsampleFM, max_pool_2x,
     ResidualBlockWithStrideFM, SubpelConv, lrelu,
 )
 from .ops import block_mc
@@ -145,18 +145,45 @@ class DCContextualDecoder(nn.Module):
         return SubpelConv(32, r=2, kernel=3, dtype=d, name="up4")(f)
 
 
+class DCUNet(nn.Module):
+    """DC's 3-level UNet over DepthConvBlock (ConvFFN flavor) —
+    reference UNet, DCVC-DC/src/models/video_net.py:129-171 (unlike
+    HEM's SE-augmented UNet and FM's DepthConvBlock4 UNet2)."""
+    out_ch: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        x1 = DepthConvBlockFM(32, dtype=d, name="conv1")(x)
+        x2 = max_pool_2x(x1)
+        x2 = DepthConvBlockFM(64, dtype=d, name="conv2")(x2)
+        x3 = max_pool_2x(x2)
+        x3 = DepthConvBlockFM(128, dtype=d, name="conv3")(x3)
+        for i in range(4):
+            x3 = DepthConvBlockFM(128, dtype=d,
+                                  name=f"context_refine_{i}")(x3)
+        u3 = SubpelConv(64, r=2, kernel=1, dtype=d, name="up3")(x3)
+        u3 = DepthConvBlockFM(64, dtype=d, name="up_conv3")(
+            jnp.concatenate([x2, u3], axis=-1))
+        u2 = SubpelConv(32, r=2, kernel=1, dtype=d, name="up2")(u3)
+        return DepthConvBlockFM(self.out_ch, dtype=d, name="up_conv2")(
+            jnp.concatenate([x1, u2], axis=-1))
+
+
 class DCReconGeneration(nn.Module):
     cfg: DMCDCConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, res, ctx):
+        """Reference ReconGeneration.forward(ctx, res) concatenates
+        (ctx, res) (video_model.py:227-232)."""
         c, d = self.cfg, self.dtype
-        # reference arg-order swap: actual concat = [recon_feat, c1]
         f = ConvK(c.ch_1x, dtype=d, name="first_conv")(
-            jnp.concatenate([res, ctx], axis=-1))
-        f = HEMUNet(c.ch_1x, dtype=d, name="unet_1")(f)
-        f = HEMUNet(c.ch_1x, dtype=d, name="unet_2")(f)
+            jnp.concatenate([ctx, res], axis=-1))
+        f = DCUNet(c.ch_1x, dtype=d, name="unet_1")(f)
+        f = DCUNet(c.ch_1x, dtype=d, name="unet_2")(f)
         recon = ConvK(3, dtype=d, name="recon_conv")(f)
         return f, recon
 
@@ -175,8 +202,9 @@ class DMCDC(nn.Module):
                              ch_8x=c.ch_8x, ch_16x=c.ch_16x,
                              offset_group=c.offset_group,
                              offset_num=c.offset_num)
-        self.optic_flow = MESpynet(level_kernels=(7, 7, 5, 5),
-                                   dtype=d)
+        # DC's MEBasic keeps kernel 7 at every level (video_net.py
+        # MEBasic) — the per-level 5x5 reduction is an FM change
+        self.optic_flow = MESpynet(dtype=d)
         self.align = OffsetDiversity(fm_cfg, dtype=d)
         self.feature_adaptor_I = ConvK(c.ch_1x, dtype=d)
         self.feature_adaptor = [ConvK(c.ch_1x, kernel=1, dtype=d)
@@ -186,16 +214,22 @@ class DMCDC(nn.Module):
 
         self.mv_encoder = DCMvEnc(c, dtype=d)
         self.mv_decoder = DCMvDec(c, dtype=d)
+        # DC's hyper coders are the HEM-lineage FLAT Sequentials
+        # (video_net.py:217-251 get_hyper_enc_dec_models), not FM's
+        # RBU/DCB blocks: enc strides (1,1,2,1,2), dec conv/subpel1x1
+        # alternation
         self.mv_hyper_prior_encoder = nn.Sequential([
             ConvK(c.ch_n, dtype=d), nn.leaky_relu,
-            ConvK(c.ch_n, 3, 2, dtype=d), nn.leaky_relu,
+            ConvK(c.ch_n, dtype=d), nn.leaky_relu,
             ConvK(c.ch_n, 3, 2, dtype=d), nn.leaky_relu,
             ConvK(c.ch_n, dtype=d), nn.leaky_relu,
-            ConvK(c.ch_n, dtype=d),
+            ConvK(c.ch_n, 3, 2, dtype=d),
         ])
         self.mv_hyper_prior_decoder = nn.Sequential([
-            ResidualBlockUpsampleFM(c.ch_n, dtype=d),
-            ResidualBlockUpsampleFM(c.ch_n, dtype=d),
+            ConvK(c.ch_mv, dtype=d), nn.leaky_relu,
+            SubpelConv(c.ch_mv, r=2, kernel=1, dtype=d), nn.leaky_relu,
+            ConvK(c.ch_mv, dtype=d), nn.leaky_relu,
+            SubpelConv(c.ch_mv, r=2, kernel=1, dtype=d), nn.leaky_relu,
             ConvK(c.ch_mv, dtype=d),
         ])
         self.mv_y_prior_fusion_adaptor_0 = DepthConvBlockFM(c.ch_mv * 2, dtype=d)
@@ -214,13 +248,18 @@ class DMCDC(nn.Module):
         ])
 
         self.contextual_encoder = DCContextualEncoder(c, dtype=d)
+        # reduce_enc_layer=True variant (video_net.py:218-225)
         self.contextual_hyper_prior_encoder = nn.Sequential([
+            ConvK(c.ch_16x, dtype=d), nn.leaky_relu,
             ConvK(c.ch_16x, 3, 2, dtype=d), nn.leaky_relu,
             ConvK(c.ch_16x, 3, 2, dtype=d),
         ])
         self.contextual_hyper_prior_decoder = nn.Sequential([
-            ResidualBlockUpsampleFM(c.ch_16x, dtype=d),
-            ResidualBlockUpsampleFM(c.ch_16x, dtype=d),
+            ConvK(c.ch_16x, dtype=d), nn.leaky_relu,
+            SubpelConv(c.ch_16x, r=2, kernel=1, dtype=d), nn.leaky_relu,
+            ConvK(c.ch_16x, dtype=d), nn.leaky_relu,
+            SubpelConv(c.ch_16x, r=2, kernel=1, dtype=d), nn.leaky_relu,
+            ConvK(c.ch_16x, dtype=d),
         ])
         self.temporal_prior_encoder = nn.Sequential([
             ConvK(c.ch_8x, 3, 2, dtype=d), lambda x: lrelu(x, 0.1),
@@ -424,9 +463,10 @@ class DMCDC(nn.Module):
 
     # ----------------------------------------------------------- forward
 
-    def __call__(self, x, dpb, q_index, frame_idx, rng):
+    def __call__(self, x, dpb, q_index, frame_idx, rng=None):
         """Training forward.  x: (B, H, W, 3) RGB [0, 1]; q_index selects
-        the anchor (0..anchor_num-1)."""
+        the anchor (0..anchor_num-1).  rng None -> eval (rounded rate
+        estimates, reference forward_one_frame eval path)."""
         mv_y_q_enc = self._q(self.mv_y_q_basic_enc, self.mv_y_q_scale_enc,
                              q_index)
         mv_y_q_dec = self._q(self.mv_y_q_basic_dec, self.mv_y_q_scale_dec,
@@ -480,11 +520,15 @@ class DMCDC(nn.Module):
         feature, x_hat = self.recon_generation_net(recon_feat, c1)
         x_hat = jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0)
 
-        rngs = jax.random.split(rng, 4)
-        y_noisy = mcommon.add_noise(y_res, rngs[0])
-        mv_y_noisy = mcommon.add_noise(mv_y_res, rngs[1])
-        z_noisy = mcommon.add_noise(z, rngs[2])
-        mv_z_noisy = mcommon.add_noise(mv_z, rngs[3])
+        if rng is not None:
+            rngs = jax.random.split(rng, 4)
+            y_noisy = mcommon.add_noise(y_res, rngs[0])
+            mv_y_noisy = mcommon.add_noise(mv_y_res, rngs[1])
+            z_noisy = mcommon.add_noise(z, rngs[2])
+            mv_z_noisy = mcommon.add_noise(mv_z, rngs[3])
+        else:
+            y_noisy, mv_y_noisy = y_q, mv_y_q
+            z_noisy, mv_z_noisy = z_hat, mv_z_hat
 
         pixel_num = x.shape[1] * x.shape[2]
         bpp_y = jnp.sum(laplace_bits(y_noisy, scales_hat),

@@ -399,6 +399,83 @@ def key_fn_tcm(path):
     return ("deconv", key) if deconv and leaf == "weight" else key
 
 
+# ----------------------------------------------------------------- DCVC-DC
+
+# flax scopes that are bare SubpelConv modules (torch Sequential .0)
+_DC_SUBPEL_PARENTS = {"up1", "up2", "up3", "up4", "conv2_up", "conv3_up",
+                      "dec_3_1"}
+_DC_HYPER_DECS = {"mv_hyper_prior_decoder", "contextual_hyper_prior_decoder"}
+
+
+def key_fn_dc(path):
+    """DCVC-DC checkpoint map (DCVC-DC/src/models/video_model.py +
+    video_net.py module trees).  Same DCB/enc-dec-list conventions as FM
+    but: SpyNet keeps torch's moduleBasic.N naming, hyper coders are the
+    flat HEM-style Sequentials, and the UNet is DepthConvBlock-based."""
+    segs = list(path)
+    if len(segs) == 1:                 # q_basic / q_scale leaves
+        return segs[0]
+    leaf = segs.pop()
+    top = segs[0]
+    if top in ("bit_estimator_z", "bit_estimator_z_mv"):
+        n = 3 if leaf == "a" else 4
+        return ("stack_last", [f"{top}.f{i + 1}.{leaf}" for i in range(n)])
+    if segs == ["align"] and leaf in ("fusion_kernel", "fusion_bias"):
+        which = "weight" if leaf == "fusion_kernel" else "bias"
+        return ("group_conv", f"align.fusion.{which}")
+
+    out = []
+    i = 0
+    while i < len(segs):
+        s = segs[i]
+        rest = segs[i + 1:]
+        prev = segs[i - 1] if i else ""
+        m = re.fullmatch(r"conv_offset_(\d+)", s)
+        if m:
+            out.append(f"conv_offset.{2 * int(m.group(1))}")
+            i += 2 if rest and rest[0] == "conv" else 1
+            continue
+        if s in ("dc", "ffn") and rest:
+            out.append(_fm_dcb_sub([s] + rest))
+            i += 3 if len(rest) >= 2 and rest[1] == "conv" else 2
+            continue
+        if s in ("subpel_conv", "upsample") and rest and rest[0] == "conv":
+            out.append(_FM_RBU_SUB[s])
+            i += 2
+            continue
+        if s == "conv":
+            is_subpel = prev in _DC_SUBPEL_PARENTS or (
+                top in _DC_HYPER_DECS and re.fullmatch(r"layers_[26]", prev))
+            if rest and rest[0] == "conv":
+                out.append("0" if is_subpel else "conv")
+                i += 2
+                continue
+            if is_subpel:
+                out.append("0")
+            i += 1
+            continue
+        m = re.fullmatch(r"layers_(\d+)", s)
+        if m:
+            out.append(m.group(1))
+            i += 1
+            continue
+        m = re.fullmatch(r"(moduleBasic|feature_adaptor)_(\d+)", s)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}")
+            i += 1
+            continue
+        m = re.fullmatch(r"(enc_\d+|dec_\d+|context_refine)_(\d+)", s)
+        if m:
+            out.append(f"{m.group(1)}.{m.group(2)}")
+            i += 1
+            continue
+        out.append(s)
+        i += 1
+
+    leaf = {"kernel": "weight"}.get(leaf, leaf)
+    return ".".join(out + [leaf])
+
+
 # ---------------------------------------------------------------- DCVC-HEM
 
 # mv_decoder slots that are ResidualBlockUpsample (their inner bare conv

@@ -215,3 +215,70 @@ def test_hem_forward_parity():
     assert _rel(out["dpb"]["ref_frame"], recon_ref) < 2e-2
     bpp_ref = float(res["bpp"])
     assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
+
+
+def test_dc_forward_parity():
+    import torch
+    _stub_msssim()
+    _fresh_src(os.path.join(REF_FAM, "DCVC-DC"))
+    from src.models.video_model import DMC as RefDMC
+    from dcvc_tpu.legacy.dcvc_dc import DMCDC
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_dc
+
+    torch.manual_seed(0)
+    ref_model = RefDMC().eval()
+    sd_t = ref_model.state_dict()
+    for k in sd_t:
+        if k.endswith(".weight") and sd_t[k].dim() == 4:
+            sd_t[k] = sd_t[k] * 0.4
+    ref_model.load_state_dict(sd_t)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = DMCDC()
+    ref, cur = _frame_pair(64, 64)
+    c = model.cfg
+
+    def dpb_of(none):
+        if none:
+            return {"ref_frame": jnp.asarray(ref), "ref_feature": None,
+                    "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None}
+        return {"ref_frame": jnp.asarray(ref),
+                "ref_feature": jnp.zeros((1, 64, 64, c.ch_1x)),
+                "ref_mv_feature": jnp.zeros((1, 16, 16, c.ch_mv)),
+                "ref_y": jnp.zeros((1, 4, 4, c.ch_16x)),
+                "ref_mv_y": jnp.zeros((1, 4, 4, c.ch_mv))}
+
+    def deep_merge(a, b):
+        out = dict(a)
+        for k, v in b.items():
+            if k in out and hasattr(v, "items"):
+                out[k] = deep_merge(out[k], v)
+            else:
+                out.setdefault(k, v)
+        return out
+
+    merged = {}
+    for none, fa in ((True, 0), (False, 0), (False, 1), (False, 3)):
+        v = jax.jit(lambda r: model.init(
+            {"params": r}, jnp.asarray(cur), dpb_of(none), 0, fa,
+            jax.random.PRNGKey(1)))(jax.random.PRNGKey(0))
+        merged = deep_merge(merged, v["params"])
+    params, unused = import_state_dict(sd, merged, key_fn=key_fn_dc)
+    assert unused == [], unused[:8]
+
+    out = model.apply({"params": params}, jnp.asarray(cur), dpb_of(True),
+                      0, 0)
+
+    with torch.no_grad():
+        rt = torch.from_numpy(ref.transpose(0, 3, 1, 2))
+        ct = torch.from_numpy(cur.transpose(0, 3, 1, 2))
+        res = ref_model.forward_one_frame(
+            ct, {"ref_frame": rt, "ref_feature": None,
+                 "ref_mv_feature": None, "ref_y": None, "ref_mv_y": None},
+            q_in_ckpt=True, q_index=0, frame_idx=0)
+
+    recon_ref = np.clip(
+        res["dpb"]["ref_frame"].numpy().transpose(0, 2, 3, 1), 0, 1)
+    assert _rel(out["dpb"]["ref_frame"], recon_ref) < 2e-2
+    bpp_ref = float(res["bpp"])
+    assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
