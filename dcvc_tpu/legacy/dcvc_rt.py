@@ -20,10 +20,71 @@ import jax.numpy as jnp
 from ..core.quant import ste_round
 from ..core.shuffle import pixel_shuffle, pixel_unshuffle
 from ..layers.blocks import (
-    Conv1x1, Conv3x3, DepthConvBlock, ResidualBlockUpsample,
-    ResidualBlockWithStride2, SubpelConv2x,
+    Conv1x1, Conv3x3, DepthwiseConv3x3, SubpelConv2x, wsilu,
 )
 from ..models import common as mcommon
+
+
+class DepthConvBlock(nn.Module):
+    """RT's DepthConvBlock (DCVC-RT/src/layers/layers.py:65-83): same dc
+    trunk as UF but the FFN chunk-add is TWO-way (WSiLUChunkAdd =
+    silu(x).chunk(2) sum -> 2C lanes into ffn_out), unlike UF's strided
+    4-way reduction to C."""
+    in_ch: int
+    out_ch: int
+    shortcut: bool = False
+    force_adaptor: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.in_ch != self.out_ch or self.force_adaptor:
+            x = Conv1x1(self.out_ch, dtype=self.dtype, name="adaptor")(x)
+        h = Conv1x1(self.out_ch, dtype=self.dtype, name="dc_in")(x)
+        h = wsilu(h)
+        h = DepthwiseConv3x3(self.out_ch, dtype=self.dtype, name="dc_dw")(h)
+        h = Conv1x1(self.out_ch, dtype=self.dtype, name="dc_out")(h)
+        out = h + x
+
+        f = Conv1x1(4 * self.out_ch, dtype=self.dtype, name="ffn_in")(out)
+        f = wsilu(f)
+        f1, f2 = jnp.split(f, 2, axis=-1)
+        f = Conv1x1(self.out_ch, dtype=self.dtype, name="ffn_out")(f1 + f2)
+        out = f + out
+        if self.shortcut:
+            out = out + x
+        return out
+
+
+class ResidualBlockWithStride2(nn.Module):
+    """RT RBWS2 (layers.py:135-144): a plain 2x2 stride-2 conv (not UF's
+    unshuffle+1x1) + shortcut DCB."""
+    in_ch: int
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.out_ch, (2, 2), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="down")(x)
+        return DepthConvBlock(self.out_ch, self.out_ch, shortcut=True,
+                              dtype=self.dtype, name="conv")(x)
+
+
+class ResidualBlockUpsample(nn.Module):
+    """RT RBU (layers.py:147-156): subpel 1x1 up + shortcut DCB."""
+    in_ch: int
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # RT's subpel convs always carry a bias (layers.py:29-35)
+        x = SubpelConv2x(self.out_ch, 1, force_bias=True, dtype=self.dtype,
+                         name="up")(x)
+        return DepthConvBlock(self.out_ch, self.out_ch, shortcut=True,
+                              dtype=self.dtype, name="conv")(x)
 
 QP_SHIFT = [0, 8, 4]
 EXTRA_QP = max(QP_SHIFT)

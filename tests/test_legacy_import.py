@@ -282,3 +282,107 @@ def test_dc_forward_parity():
     assert _rel(out["dpb"]["ref_frame"], recon_ref) < 2e-2
     bpp_ref = float(res["bpp"])
     assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
+
+
+def test_rt_forward_parity():
+    """DCVC-RT has no torch training forward (inference-only model);
+    compare each stage of the deterministic compress pipeline
+    (DCVC-RT/src/models/video_model.py:299-340) component-wise."""
+    import torch
+    _fresh_src(os.path.join(REF_FAM, "DCVC-RT"))
+    from src.models.video_model import DMC as RefDMC
+    from dcvc_tpu.legacy.dcvc_rt import DMCRT
+    from dcvc_tpu.core.shuffle import pixel_unshuffle
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_rt
+
+    torch.manual_seed(0)
+    ref_model = RefDMC().eval().float()
+    sd_t = ref_model.state_dict()
+    for k in sd_t:
+        if k.endswith(".weight") and sd_t[k].dim() == 4:
+            sd_t[k] = sd_t[k] * 0.4
+    ref_model.load_state_dict(sd_t)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = DMCRT()
+    c = model.cfg
+    ref, cur = _frame_pair(64, 64)
+    ref_unsh = pixel_unshuffle(jnp.asarray(ref), 8)
+    v = jax.jit(lambda r: model.init(r, jnp.asarray(cur), ref_unsh, None,
+                                     jnp.int32(0), jax.random.PRNGKey(1)))(
+        jax.random.PRNGKey(0))
+    # second init covers the P-frame adaptor branch (memory set)
+    rfp = jnp.zeros((1, 8, 8, c.ch_d))
+    v2 = jax.jit(lambda r: model.init(r, jnp.asarray(cur), rfp, rfp,
+                                      jnp.int32(0), jax.random.PRNGKey(1)))(
+        jax.random.PRNGKey(0))
+
+    def deep_merge(a, b):
+        out = dict(a)
+        for k, val in b.items():
+            if k in out and hasattr(val, "items"):
+                out[k] = deep_merge(out[k], val)
+            else:
+                out.setdefault(k, val)
+        return out
+
+    merged = deep_merge(dict(v["params"]), v2["params"])
+    params, unused = import_state_dict(sd, merged, key_fn=key_fn_rt)
+    assert unused == [], unused[:8]
+
+    vars_ = {"params": params}
+    qp = 0
+
+    def t2j(t):
+        return t.detach().numpy().transpose(0, 2, 3, 1)
+
+    with torch.no_grad():
+        ct = torch.from_numpy(cur.transpose(0, 3, 1, 2))
+        rt = torch.from_numpy(ref.transpose(0, 3, 1, 2))
+        feat_t = ref_model.feature_adaptor_i(
+            torch.nn.functional.pixel_unshuffle(rt, 8))
+        qf = ref_model.q_feature[qp:qp + 1]
+        ctx_t_, ctxt_t_ = ref_model.feature_extractor(feat_t, qf)
+        y_t = ref_model.encoder(ct, ctx_t_, ref_model.q_encoder[qp:qp + 1])
+        z_t = ref_model.hyper_encoder(y_t)
+        z_hat_t = torch.round(z_t)
+        params_t = ref_model.res_prior_param_decoder(z_hat_t, ctxt_t_)
+        y_hat_t = torch.round(y_t)
+        feature_t = ref_model.decoder(y_hat_t, ctx_t_,
+                                      ref_model.q_decoder[qp:qp + 1])
+        recon_t = ref_model.recon_generation_net(
+            feature_t, ref_model.q_recon[qp:qp + 1])
+
+    mem, _ = None, None
+    feat = model.apply(vars_, ref_unsh,
+                       method=lambda m, a: m.feature_adaptor_i(a))
+    assert _rel(feat, t2j(feat_t)) < 2e-2
+    ctx, ctxt = model.apply(
+        vars_, feat, method=lambda m, a: m.feature_extractor(
+            a, m._q(m.q_feature, jnp.int32(qp))))
+    assert _rel(ctx, t2j(ctx_t_)) < 2e-2
+    assert _rel(ctxt, t2j(ctxt_t_)) < 2e-2
+    y = model.apply(vars_, jnp.asarray(cur), ctx,
+                    method=lambda m, a, b: m.encoder(
+                        a.astype(m.dtype), b, m._q(m.q_encoder,
+                                                   jnp.int32(qp))))
+    assert _rel(y, t2j(y_t)) < 2e-2
+    z = model.apply(vars_, y, method=lambda m, a: m.hyper_encoder(a))
+    assert _rel(z, t2j(z_t)) < 2e-2
+
+    def fuse(m, zh, ct_):
+        hyper = m.hyper_decoder(zh)
+        temporal = m.temporal_prior_encoder(ct_)
+        return m.y_prior_fusion(
+            jnp.concatenate([hyper, temporal], axis=-1))
+
+    pf = model.apply(vars_, jnp.round(z), ctxt, method=fuse)
+    assert _rel(pf, t2j(params_t)) < 2e-2
+
+    def recon(m, yh, ct_):
+        feature = m.decoder(yh, ct_, m._q(m.q_decoder, jnp.int32(qp)))
+        return m.recon_generation_net(feature,
+                                      m._q(m.q_recon, jnp.int32(qp)))
+
+    x_hat = model.apply(vars_, jnp.round(y), ctx, method=recon)
+    assert _rel(x_hat, np.clip(t2j(recon_t), 0, 1)) < 2e-2
