@@ -154,8 +154,21 @@ class EVCResidualBlockUpsample(nn.Module):
         return h + subpel("upsample")(x)
 
 
+class EVCHyperDCB(nn.Module):
+    """EVC's hyperprior-side DepthConvBlock (hyperprior.py:7-63): lrelu
+    DepthConv + the CAPPED ConvFFN (hidden = max(min(4C, 1024), 2C),
+    lrelu 0.1) — unlike the enc/dec blocks' plain 4x ReLU FFN."""
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = DepthConvFM(self.out_ch, dtype=self.dtype, name="dc")(x)
+        return ConvFFNFM(dtype=self.dtype, name="ffn")(x)
+
+
 class EVCHyperBlockUpsample(nn.Module):
-    """FM-style depthconv block + subpel upsample (hyperprior.py:66-74)."""
+    """Hyper DCB + subpel upsample (hyperprior.py:66-74)."""
     out_ch: int
     dtype: jnp.dtype = jnp.float32
 
@@ -209,8 +222,10 @@ class EVC(nn.Module):
         self.dec_out = ConvK(3 * 4, kernel=1, dtype=d)  # subpel_conv1x1 x2
 
 
+        # hyper/prior blocks use the hyperprior.py DepthConvBlock
+        # variant (capped lrelu FFN), NOT the enc/dec layers.py one
         self.hyper_enc = nn.Sequential([
-            EVCDepthConvBlock(N, dtype=d),
+            EVCHyperDCB(N, dtype=d),
             ConvK(N, stride=2, dtype=d),
             lambda x: lrelu(x),
             ConvK(N, stride=2, dtype=d),
@@ -218,16 +233,16 @@ class EVC(nn.Module):
         self.hyper_dec = nn.Sequential([
             EVCHyperBlockUpsample(N, dtype=d),
             EVCHyperBlockUpsample(N, dtype=d),
-            EVCDepthConvBlock(N, dtype=d),
+            EVCHyperDCB(N, dtype=d),
         ])
         self.y_prior_fusion = nn.Sequential([
-            EVCDepthConvBlock(N * 2, dtype=d),
-            EVCDepthConvBlock(N * 3, dtype=d),
+            EVCHyperDCB(N * 2, dtype=d),
+            EVCHyperDCB(N * 3, dtype=d),
         ])
         self.y_spatial_prior = nn.Sequential([
-            EVCDepthConvBlock(N * 3, dtype=d),
-            EVCDepthConvBlock(N * 2, dtype=d),
-            EVCDepthConvBlock(N * 2, dtype=d),
+            EVCHyperDCB(N * 3, dtype=d),
+            EVCHyperDCB(N * 2, dtype=d),
+            EVCHyperDCB(N * 2, dtype=d),
         ])
 
         ones = nn.initializers.ones

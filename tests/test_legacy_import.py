@@ -386,3 +386,39 @@ def test_rt_forward_parity():
 
     x_hat = model.apply(vars_, jnp.round(y), ctx, method=recon)
     assert _rel(x_hat, np.clip(t2j(recon_t), 0, 1)) < 2e-2
+
+
+def test_evc_forward_parity():
+    import torch
+    _fresh_src(os.path.join(REF_FAM, "EVC"))
+    from src.models.image_model import EVC_LL
+    from dcvc_tpu.legacy.evc import EVC
+    from dcvc_tpu.utils.torch_import import import_state_dict, key_fn_evc
+
+    torch.manual_seed(0)
+    ref_model = EVC_LL().eval()
+    sd_t = ref_model.state_dict()
+    for k in sd_t:
+        if k.endswith(".weight") and sd_t[k].dim() == 4:
+            sd_t[k] = sd_t[k] * 0.4
+    ref_model.load_state_dict(sd_t)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    model = EVC()
+    ref, cur = _frame_pair(64, 64)
+    v = jax.jit(lambda r: model.init({"params": r}, jnp.asarray(cur)))(
+        jax.random.PRNGKey(0))
+    params, unused = import_state_dict(sd, v["params"], key_fn=key_fn_evc)
+    assert unused == [], unused[:8]
+
+    out = model.apply({"params": params}, jnp.asarray(cur), 1.0)
+
+    with torch.no_grad():
+        ct = torch.from_numpy(cur.transpose(0, 3, 1, 2))
+        res = ref_model(ct, q_scale=torch.tensor([[[[1.0]]]]))
+
+    x_hat_ref = np.clip(res["x_hat"].numpy().transpose(0, 2, 3, 1), 0, 1)
+    x_hat = np.clip(np.asarray(out["x_hat"]), 0, 1)
+    assert _rel(x_hat, x_hat_ref) < 2e-2
+    bpp_ref = float(res["bpp"])
+    assert abs(float(out["bpp"][0]) - bpp_ref) / bpp_ref < 5e-2
