@@ -336,3 +336,81 @@ class FamilyRunner:
         return {f"rate_{r}": self.run_sequence(frames_rgb, r, gop,
                                                f"{seq_name}_r{r}")
                 for r in rate_indices}
+
+    # ------------------------------------------------- fast (no-stream)
+
+    def run_sequence_fast(self, frames_rgb, rate_idx, gop, seq_name="seq"):
+        """Estimated-bits eval without entropy coding — the reference's
+        fast mode (DCVC-FM/src/utils/test_helper.py:134,
+        DCVC/test_video.py:156-175).  P-frame rates come from the eval
+        forward on rounded latents; I-frames still run the real intra
+        codec.  Supported for models with an eval forward: fm, dcvc."""
+        import jax
+        import jax.numpy as jnp
+        assert self.model in ("fm", "dcvc"), \
+            f"fast mode not implemented for {self.model}"
+        h, w = frames_rgb[0].shape[1:]
+        assert h % 64 == 0 and w % 64 == 0, "fast mode expects 64-multiples"
+        q = int(np.round(np.linspace(12, 51, max(self.rate_num, 2))
+                         [min(rate_idx, self.rate_num - 1)]))
+        frames = [np.ascontiguousarray(
+            f.transpose(1, 2, 0).astype(np.float32) / 255.0)[None]
+            for f in frames_rgb]
+        model = self.p_codec.model
+        variables = {"params": self.p_codec.params}
+
+        if self.model == "fm":
+            fwd = jax.jit(lambda x, dpb, qi, fa: model.apply(
+                variables, x, dpb, qi, fa, None))
+        else:
+            fwd = jax.jit(lambda ref, cur: model.apply(variables, ref, cur))
+
+        result = {"frame_bpp": [], "frame_psnr": [], "frame_type": [],
+                  "bitexact": True, "q_index": q, "fast": True}
+        t0 = time.time()
+        dpb = None
+        ref = None
+        for i, x in enumerate(frames):
+            is_i = i % gop == 0 if gop > 0 else i == 0
+            result["frame_type"].append(0 if is_i else 1)
+            if is_i:
+                if self.model == "fm":
+                    res_i = self.i_codec.compress(
+                        x, float(self.i_q_scales[q]), h, w)
+                    bits = len(res_i["bit_stream"]) * 8
+                else:
+                    res_i = self.i_codec.compress(x, h, w)
+                    bits = (len(res_i["y_string"])
+                            + len(res_i["z_string"])) * 8
+                x_hat = res_i["x_hat"]
+                if self.model == "fm":
+                    dpb = {"ref_frame": x_hat, "ref_feature": None,
+                           "ref_mv_feature": None, "ref_y": None,
+                           "ref_mv_y": None}
+                else:
+                    ref = x_hat
+                bpp = bits / (h * w)
+            else:
+                if self.model == "fm":
+                    fa = INDEX_MAP_FM[i % len(INDEX_MAP_FM)]
+                    res, dpb = fwd(jnp.asarray(x), dpb, q, fa)
+                    x_hat = dpb["ref_frame"]
+                    bpp = float(res["bpp"][0])
+                else:
+                    res = fwd(ref, jnp.asarray(x))
+                    x_hat = jnp.clip(res["recon_image"], 0.0, 1.0)
+                    ref = x_hat
+                    bpp = float(res["bpp"][0])
+            result["frame_bpp"].append(bpp)
+            result["frame_psnr"].append(_psnr_rgb(x_hat, frames_rgb[i]))
+        elapsed = time.time() - t0
+        result["avg_bpp"] = float(np.mean(result["frame_bpp"]))
+        result["avg_psnr"] = float(np.mean(result["frame_psnr"]))
+        i_mask = [t == 0 for t in result["frame_type"]]
+        result["avg_psnr_i"] = float(np.mean(
+            [p for p, m in zip(result["frame_psnr"], i_mask) if m]))
+        p_ps = [p for p, m in zip(result["frame_psnr"], i_mask) if not m]
+        result["avg_psnr_p"] = float(np.mean(p_ps)) if p_ps else 0.0
+        result["avg_frame_encoding_time"] = elapsed / len(frames)
+        result["avg_frame_decoding_time"] = 0.0
+        return result

@@ -532,8 +532,10 @@ class DMCFM(nn.Module):
 
     # ----------------------------------------------------------- forward
 
-    def __call__(self, x, dpb, q_index, fa_idx, rng):
+    def __call__(self, x, dpb, q_index, fa_idx, rng=None):
         """Training forward for one P frame.  x: (B, H, W, 3) RGB [0, 1].
+        rng None -> eval: rate estimates on ROUNDED latents (the
+        reference fast no-bitstream mode, test_helper.py:134).
 
         Returns (result dict, new dpb dict)."""
         mv_y_q_enc, mv_y_q_dec, y_q_enc, y_q_dec = self._all_q(q_index)
@@ -569,11 +571,15 @@ class DMCFM(nn.Module):
         feature, x_hat = self.recon_generation_net(recon_feat, c1)
         x_hat = jnp.clip(x_hat.astype(jnp.float32), 0.0, 1.0)
 
-        rngs = jax.random.split(rng, 4)
-        y_noisy = mcommon.add_noise(y_res, rngs[0])
-        mv_y_noisy = mcommon.add_noise(mv_y_res, rngs[1])
-        z_noisy = mcommon.add_noise(z, rngs[2])
-        mv_z_noisy = mcommon.add_noise(mv_z, rngs[3])
+        if rng is not None:
+            rngs = jax.random.split(rng, 4)
+            y_noisy = mcommon.add_noise(y_res, rngs[0])
+            mv_y_noisy = mcommon.add_noise(mv_y_res, rngs[1])
+            z_noisy = mcommon.add_noise(z, rngs[2])
+            mv_z_noisy = mcommon.add_noise(mv_z, rngs[3])
+        else:
+            y_noisy, mv_y_noisy = y_q, mv_y_q
+            z_noisy, mv_z_noisy = z_hat, mv_z_hat
 
         bits_y = jnp.sum(laplace_bits(y_noisy, scales_hat), axis=(1, 2, 3))
         bits_mv_y = jnp.sum(laplace_bits(mv_y_noisy, mv_scales_hat),

@@ -36,6 +36,9 @@ def parse_args():
     p.add_argument("--output_path", default="family_result.json")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (smoke/CI)")
+    p.add_argument("--fast", action="store_true",
+                   help="estimated-bits mode without entropy coding "
+                        "(fm/dcvc; reference test_helper.py:134)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -98,8 +101,14 @@ def main():
             ip = seq.get("intra_period", gop)
             if ip == -1:
                 gop = len(frames) + 1   # single intra
-            res = runner.run(frames, list(range(args.rate_num)), gop,
-                             seq_name=f"{cls_name}_{seq_name}")
+            if args.fast:
+                runner._h, runner._w = frames[0].shape[1:]
+                res = {f"rate_{r}": runner.run_sequence_fast(
+                    frames, r, gop, seq_name=f"{cls_name}_{seq_name}_r{r}")
+                    for r in range(args.rate_num)}
+            else:
+                res = runner.run(frames, list(range(args.rate_num)), gop,
+                                 seq_name=f"{cls_name}_{seq_name}")
             results[cls_name][seq_name] = res
             for rk, rv in res.items():
                 flag = "" if rv["bitexact"] else "  !! MISMATCH"

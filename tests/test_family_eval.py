@@ -66,3 +66,23 @@ def test_family_cli(model, png_seq, tmp_path):
     # the stream files exist and are real containers
     bins = list((tmp_path / "bin").iterdir())
     assert bins
+
+
+@pytest.mark.parametrize("model", ["fm", "dcvc"])
+def test_family_cli_fast_mode(model, png_seq, tmp_path):
+    """Estimated-bits fast mode (reference DCVC-FM test_helper.py:134 /
+    DCVC test_video.py:156-175): no containers, rates from the eval
+    forward."""
+    out = tmp_path / f"{model}_fast.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "test_video_family.py"),
+         "--model", model, "--test_config", str(png_seq),
+         "--rate_num", "1", "--gop", "4", "--tiny", "--fast",
+         "--stream_path", str(tmp_path / "bin"),
+         "--output_path", str(out)],
+        capture_output=True, text=True, cwd=REPO, timeout=2800)
+    assert r.returncode == 0, r.stdout + r.stderr
+    data = json.loads(out.read_text())
+    res = data["results"]["cls"]["seq1"]["rate_0"]
+    assert res["fast"] and res["avg_bpp"] > 0
+    assert all(b > 0 for b in res["frame_bpp"])
