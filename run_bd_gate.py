@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--allow_extrapolation", action="store_true",
                     help="only needed for untrained/random weights whose "
                          "RD range misses the anchor's")
+    ap.add_argument("--force_intra", action="store_true",
+                    help="image-only gate (every frame intra)")
     args = ap.parse_args()
     trained = args.model_path_i != "random" or args.model_path_p != "random"
 
@@ -84,6 +86,8 @@ def main():
                "--model_path_i", args.model_path_i,
                "--model_path_p", args.model_path_p,
                "--tiny_model", "1"]
+        if args.force_intra:
+            cmd += ["--force_intra", "1"]
         subprocess.run(cmd, check=True, env=env)
 
         cmd = [sys.executable, "compare_bd_rate.py",

@@ -23,6 +23,12 @@ import os
 import sys
 import time
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the ambient axon sitecustomize pins jax to the TPU tunnel and
+    # ignores the env var; jax.config wins (see tests/conftest.py)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def parse_args():
     p = argparse.ArgumentParser()

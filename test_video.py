@@ -15,6 +15,12 @@ import time
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the ambient axon sitecustomize pins jax to the TPU tunnel and
+    # ignores the env var; jax.config wins (see tests/conftest.py)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def str2bool(v):
     return str(v).lower() in ["yes", "y", "true", "t", "1"]

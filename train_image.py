@@ -11,6 +11,13 @@ all-reduce (the reference's NCCL DDP role, utils/common.py:190-205).
 import argparse
 import sys
 import time
+import os
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize pins jax to the TPU tunnel and ignores the
+    # env var; jax.config wins (see tests/conftest.py)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def get_training_strategy():

@@ -7,6 +7,13 @@ intra model seeding the DPB, AdamW + grad-clip 0.2 + non-finite skip.
 import argparse
 import sys
 import time
+import os
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize pins jax to the TPU tunnel and ignores the
+    # env var; jax.config wins (see tests/conftest.py)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 
 def get_training_strategy(training_scheduling, frame_delay, model_structure):
