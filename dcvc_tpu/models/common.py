@@ -239,3 +239,27 @@ def get_y_bits(y_noisy, scales_hat):
 def get_training_lambdas(lam_lo_hi, qp_num=QP_NUM):
     """Log-spaced lambda per QP (utils/common.py:184-187)."""
     return np.exp(np.linspace(np.log(lam_lo_hi[0]), np.log(lam_lo_hi[1]), qp_num))
+
+
+def q_ladder_init(lo, hi, inverse=False):
+    """Initializer for (qp_num, ch) quant-step banks: rows log-spaced
+    lo -> hi along the QP axis (their reciprocals when `inverse`, for
+    the decode banks that undo the encode step).
+
+    The reference trains its per-QP q vectors from torch's default init
+    and relies on scale + data to spread them; DCVC-FM instead makes the
+    ladder STRUCTURAL via log-interpolation between min/max rows
+    (DCVC-FM/src/models/common_model.py:37-60).  We keep per-QP free
+    parameters (UF semantics) but seed them with the FM-style log ladder
+    so the rate spread across QPs exists from step 0 — without it a
+    short training run leaves every QP coding identical bits (all-ones
+    rows get near-zero differential gradient early on).
+    """
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        qp_num, ch = shape
+        row = np.exp(np.linspace(np.log(lo), np.log(hi), qp_num))
+        if inverse:
+            row = 1.0 / row
+        return jnp.asarray(np.repeat(row[:, None], ch, 1), dtype)
+    return init

@@ -311,9 +311,13 @@ class DMCHT(nn.Module):
         self.decoder = HTDecoder(c, dtype=self.dtype)
         self.recon_head = HTReconHead(c, dtype=self.dtype)
 
+        # FM-style log ladder init so the rate spread across QPs is
+        # structural from step 0 (see common.q_ladder_init)
         ones = nn.initializers.ones
-        self.q_encoder = self.param("q_encoder", ones, (c.qp_num, c.ch_d))
-        self.q_decoder = self.param("q_decoder", ones, (c.qp_num, c.ch_d))
+        feat = common.q_ladder_init(0.5, 2.0)
+        feat_inv = common.q_ladder_init(0.5, 2.0, inverse=True)
+        self.q_encoder = self.param("q_encoder", feat, (c.qp_num, c.ch_d))
+        self.q_decoder = self.param("q_decoder", feat_inv, (c.qp_num, c.ch_d))
         self.q_feature = self.param("q_feature", ones, (c.qp_num, c.ch_d))
 
         self.bit_estimator_z = common.BitEstimatorModule(c.qp_num, c.ch_z)

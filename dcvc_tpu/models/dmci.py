@@ -151,11 +151,16 @@ class DMCI(nn.Module):
         self.y_spatial_prior = IntraSpatialPrior(c, dtype=self.dtype)
         self.dec = IntraDecoder(c, dtype=self.dtype)
 
-        ones = nn.initializers.ones
-        self.q_scale_enc = self.param("q_scale_enc", ones, (c.qp_num, c.ch_enc_dec))
-        self.q_scale_dec = self.param("q_scale_dec", ones, (c.qp_num, c.ch_enc_dec))
-        self.q_scale_y_enc = self.param("q_scale_y_enc", ones, (c.qp_num, c.ch_y))
-        self.q_scale_y_dec = self.param("q_scale_y_dec", ones, (c.qp_num, c.ch_y))
+        # FM-style structural rate ladder as INIT (trainable per-QP rows
+        # keep UF semantics); see common.q_ladder_init.
+        feat = common.q_ladder_init(0.5, 2.0)
+        feat_inv = common.q_ladder_init(0.5, 2.0, inverse=True)
+        yq = common.q_ladder_init(0.3, 3.0)
+        yq_inv = common.q_ladder_init(0.3, 3.0, inverse=True)
+        self.q_scale_enc = self.param("q_scale_enc", feat, (c.qp_num, c.ch_enc_dec))
+        self.q_scale_dec = self.param("q_scale_dec", feat_inv, (c.qp_num, c.ch_enc_dec))
+        self.q_scale_y_enc = self.param("q_scale_y_enc", yq, (c.qp_num, c.ch_y))
+        self.q_scale_y_dec = self.param("q_scale_y_dec", yq_inv, (c.qp_num, c.ch_y))
 
         self.bit_estimator_z = common.BitEstimatorModule(c.qp_num, c.ch_z)
 

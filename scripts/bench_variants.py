@@ -36,7 +36,7 @@ def sync1(arr):
     return np.asarray(arr.ravel()[0:1])
 
 
-def bench_dmci(jax, jnp, h, w):
+def bench_dmci(jax, jnp, h, w, res="1080p"):
     from dcvc_tpu.runtime.image_codec import DMCICodec
     codec = DMCICodec.init_random(jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16, skip_thres=0.15)
@@ -75,21 +75,22 @@ def bench_dmci(jax, jnp, h, w):
         for r, o in zip(results, outs):
             if not np.array_equal(np.asarray(r["x_hat"]),
                                   np.asarray(o["x_hat"])):
-                print(json.dumps({"metric": "dmci_1080p_encdec_fps",
+                print(json.dumps({"metric": f"dmci_{res}_encdec_fps",
                                   "value": 0.0, "unit": "fps",
                                   "error": "round-trip mismatch"}))
                 return
     t_enc, t_dec = float(np.mean(enc_times)), float(np.mean(dec_times))
-    base = 1.0 / (1.0 / 81.5 + 1.0 / 95.0)   # UF-Intra A100 cycle
+    base = 1.0 / (1.0 / 81.5 + 1.0 / 95.0)   # UF-Intra A100 cycle @1080p
     fps = 1.0 / (t_enc + t_dec)
-    print(json.dumps({"metric": "dmci_1080p_encdec_fps",
+    print(json.dumps({"metric": f"dmci_{res}_encdec_fps",
                       "value": round(fps, 3), "unit": "fps",
-                      "vs_baseline": round(fps / base, 4),
+                      # the published baseline is 1080p-only
+                      "vs_baseline": round(fps / base, 4) if res == "1080p" else None,
                       "enc_fps": round(1.0 / t_enc, 1),
                       "dec_fps": round(1.0 / t_dec, 1)}))
 
 
-def bench_ht(jax, jnp, h, w, variant):
+def bench_ht(jax, jnp, h, w, variant, res="1080p"):
     from dcvc_tpu.models.dmc_ht import HTL_CONFIG, HTS_CONFIG
     from dcvc_tpu.runtime.video_codec import DMCHTCodec
     cfg = HTL_CONFIG if variant == "htl" else HTS_CONFIG
@@ -135,18 +136,30 @@ def bench_ht(jax, jnp, h, w, variant):
             enc_times.append((t1 - t0) / n_frames)
             dec_times.append((t3 - t2) / n_frames)
         if not bool(eq_check(enc_ref, codec.ref_feature)):
-            print(json.dumps({"metric": f"dmc_{variant}_1080p_encdec_fps",
+            print(json.dumps({"metric": f"dmc_{variant}_{res}_encdec_fps",
                               "value": 0.0, "unit": "fps",
                               "error": "round-trip mismatch"}))
             return
     t_enc, t_dec = float(np.mean(enc_times)), float(np.mean(dec_times))
-    base = 1.0 / (1.0 / 125.2 + 1.0 / 112.8)
+    base = 1.0 / (1.0 / 125.2 + 1.0 / 112.8)   # DCVC-RT A100 cycle @1080p
     fps = 1.0 / (t_enc + t_dec)
-    print(json.dumps({"metric": f"dmc_{variant}_1080p_encdec_fps",
+    print(json.dumps({"metric": f"dmc_{variant}_{res}_encdec_fps",
                       "value": round(fps, 3), "unit": "fps",
-                      "vs_baseline": round(fps / base, 4),
+                      # the published baseline is 1080p-only
+                      "vs_baseline": round(fps / base, 4) if res == "1080p" else None,
                       "enc_fps": round(1.0 / t_enc, 1),
                       "dec_fps": round(1.0 / t_dec, 1)}))
+
+
+# the reference's optimized-speed envelope (README.md "Measure
+# compression speed" note; hint tables d3x3.cu:7-25)
+RESOLUTIONS = {
+    "2160p": (2160, 3840),
+    "1080p": (1080, 1920),
+    "720p": (720, 1280),
+    "480p": (480, 832),
+    "240p": (240, 416),
+}
 
 
 def main():
@@ -155,14 +168,20 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
-    which = sys.argv[1:] or ["dmci", "htl", "hts"]
-    h, w = 1080, 1920
+    args = sys.argv[1:]
+    res = "1080p"
+    if "--res" in args:
+        i = args.index("--res")
+        res = args[i + 1]
+        del args[i:i + 2]
+    which = args or ["dmci", "htl", "hts"]
+    h, w = RESOLUTIONS[res]
     if "dmci" in which:
-        bench_dmci(jax, jnp, h, w)
+        bench_dmci(jax, jnp, h, w, res)
     if "htl" in which:
-        bench_ht(jax, jnp, h, w, "htl")
+        bench_ht(jax, jnp, h, w, "htl", res)
     if "hts" in which:
-        bench_ht(jax, jnp, h, w, "hts")
+        bench_ht(jax, jnp, h, w, "hts", res)
 
 
 if __name__ == "__main__":
