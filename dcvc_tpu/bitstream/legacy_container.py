@@ -256,3 +256,96 @@ def fm_write_ip(f, is_i_frame, sps_id, bit_stream):
 def fm_read_ip_remaining(f):
     n = _read_uint_adaptive(f)
     return f.read(n)
+
+
+# ---------------------------------------------------------------- DCVC-RT
+# NAL/SPS container (DCVC-RT/src/utils/stream_helper.py:108-218): SPS
+# carries {height, width, ec_part(1b), use_ada_i(1b)}; the per-frame IP
+# payload carries {qp u8, adaptive length, bytes} — unlike FM, qp lives
+# in the IP NAL (it changes per frame under the qp_shift schedule).
+# RT already uses UF's 1/2/4-byte adaptive uint (stream_helper.py:68-105),
+# not FM's 2/4-byte one.
+
+from .nal import read_uint_adaptive as _rt_read_uint
+from .nal import write_uint_adaptive as _rt_write_uint
+
+RT_NAL_SPS = 0
+RT_NAL_I = 1
+RT_NAL_P = 2
+
+
+class RTSPSHelper:
+    """RT SPS dedupe by (h, w, use_ada_i, ec_part)
+    (DCVC-RT/src/utils/stream_helper.py:114-145)."""
+
+    def __init__(self):
+        self.spss = []
+
+    def get_sps_id(self, target):
+        min_id = -1
+        for sps in self.spss:
+            if all(sps[k] == target[k]
+                   for k in ("height", "width", "use_ada_i", "ec_part")):
+                return sps["sps_id"], False
+            min_id = max(min_id, sps["sps_id"])
+        assert min_id < 15
+        sps = dict(target)
+        sps["sps_id"] = min_id + 1
+        self.spss.append(sps)
+        return sps["sps_id"], True
+
+    def add_sps_by_id(self, sps):
+        for i, old in enumerate(self.spss):
+            if old["sps_id"] == sps["sps_id"]:
+                self.spss[i] = dict(sps)
+                return
+        self.spss.append(dict(sps))
+
+    def get_sps_by_id(self, sps_id):
+        for sps in self.spss:
+            if sps["sps_id"] == sps_id:
+                return sps
+        return None
+
+
+def rt_write_sps(f, sps):
+    """RT stream_helper.py:148-162."""
+    assert sps["sps_id"] < 16 and sps["use_ada_i"] < 2 and sps["ec_part"] < 2
+    _w_uchars(f, ((RT_NAL_SPS << 4) + sps["sps_id"],))
+    n = 1
+    n += _rt_write_uint(f, sps["height"])
+    n += _rt_write_uint(f, sps["width"])
+    _w_uchars(f, ((sps["ec_part"] << 2) + sps["use_ada_i"],))
+    return n + 1
+
+
+def rt_read_header(f):
+    (flag,) = _r_uchars(f, 1)
+    return {"nal_type": flag >> 4, "sps_id": flag & 0x0F}
+
+
+def rt_read_sps_remaining(f, sps_id):
+    sps = {"sps_id": sps_id}
+    sps["height"] = _rt_read_uint(f)
+    sps["width"] = _rt_read_uint(f)
+    (flag,) = _r_uchars(f, 1)
+    sps["ec_part"] = (flag >> 2) & 0x01
+    sps["use_ada_i"] = flag & 0x01
+    return sps
+
+
+def rt_write_ip(f, is_i_frame, sps_id, qp, bit_stream):
+    """RT stream_helper.py:198-209 — qp u8 per frame (qp_shift schedule)."""
+    assert 0 <= qp < 256
+    _w_uchars(f, ((int(RT_NAL_I if is_i_frame else RT_NAL_P) << 4)
+                  + sps_id,))
+    _w_uchars(f, (qp,))
+    n = 2 + _rt_write_uint(f, len(bit_stream))
+    f.write(bit_stream)
+    return n + len(bit_stream)
+
+
+def rt_read_ip_remaining(f):
+    (qp,) = _r_uchars(f, 1)
+    n = _rt_read_uint(f)
+    return qp, f.read(n)

@@ -167,24 +167,28 @@ class BatchLoader:
     numpy batches with prefetch (pin_memory/prefetch_factor equivalent)."""
 
     def __init__(self, dataset, batch_size, shuffle=True, prefetch=2, seed=0,
-                 drop_last=True):
+                 drop_last=True, repeats=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.repeats = repeats   # passes over the data per epoch (each
+        # pass re-crops/re-flips, so small corpora still yield fresh
+        # samples; keeps the lr schedule's epoch granularity meaningful)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
         if not self.drop_last and len(self.dataset) % self.batch_size:
             n += 1
-        return n
+        return n * self.repeats
 
     def __iter__(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            self.rng.shuffle(order)
+        order = np.concatenate([
+            self.rng.permutation(len(self.dataset)) if self.shuffle
+            else np.arange(len(self.dataset))
+            for _ in range(self.repeats)])
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 

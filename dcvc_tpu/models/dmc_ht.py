@@ -71,6 +71,11 @@ TINY_HTL_CONFIG = DMCHTConfig(is_hts=False, ch_y=16, ch_z=8, ch_d=32,
                               ch_m=32, ch_recon=16, qp_num=8,
                               enc_depth=1, dec_depth=1, fa_i_depth=1,
                               fa_m_depth=1, fx_depth=1, recon_depth=1)
+# mid-size config for trained quality gates (see dmci.SMALL_CONFIG)
+SMALL_HT_CONFIG = DMCHTConfig(is_hts=True, ch_y=64, ch_z=32, ch_d=128,
+                              ch_m=128, ch_recon=64, qp_num=16,
+                              enc_depth=2, dec_depth=2, fa_i_depth=1,
+                              fa_m_depth=2, fx_depth=2, recon_depth=1)
 
 
 def _dcb_stack(x, chs, dcb2, dtype, name):

@@ -41,6 +41,10 @@ class DMCIConfig:
 
 TINY_CONFIG = DMCIConfig(ch_enc_dec=32, ch_y=16, ch_z=8,
                          enc_depth=1, dec_depth=1, qp_num=8)
+# mid-size config for trained quality gates: big enough that the RD
+# behavior is representative, small enough to train on one chip in hours
+SMALL_CONFIG = DMCIConfig(ch_enc_dec=128, ch_y=64, ch_z=32,
+                          enc_depth=2, dec_depth=3, qp_num=16)
 
 
 class IntraEncoder(nn.Module):

@@ -30,6 +30,13 @@ def save_params(path, params, cfg=None, extra=None):
         f.write(payload)
 
 
+def load_header(path):
+    """Read only the JSON header (config etc.) without the params."""
+    with open(path, "rb") as f:
+        n = int.from_bytes(f.read(8), "little")
+        return json.loads(f.read(n).decode())
+
+
 def load_params(path):
     """Returns (params pytree, header dict)."""
     with open(path, "rb") as f:

@@ -82,8 +82,18 @@ def main():
     env.setdefault("JAX_PLATFORMS", "cpu")
     os.makedirs("artifacts", exist_ok=True)
 
+    # rate points: spread 4 QPs across the FULL quant ladder of the
+    # checkpoint being gated (a narrow low-end slice hides RD behavior)
+    qp_num = 8
+    if trained:
+        from dcvc_tpu.utils.checkpoint import load_header
+        path = (args.model_path_i if args.model_path_i != "random"
+                else args.model_path_p)
+        qp_num = load_header(path).get("config", {}).get("qp_num", qp_num)
+    qps = [str(int(round(q))) for q in np.linspace(0, qp_num - 1, 4)]
+
     with tempfile.TemporaryDirectory() as root:
-        cfg_path = make_sequence(root)
+        cfg_path = make_sequence(root, h=256, w=384, n=17)
         result_json = os.path.join(root, "result.json")
         cmd = [sys.executable, "test_video.py",
                "--test_config", cfg_path,
@@ -91,11 +101,12 @@ def main():
                "--stream_path", os.path.join(root, "bin"),
                "--model_structure", "hts",
                "--rate_num", "4",
-               "--qp_i", "0", "2", "4", "6",
-               "--qp_p", "0", "2", "4", "6",
+               "--qp_i", *qps,
+               "--qp_p", *qps,
                "--model_path_i", args.model_path_i,
-               "--model_path_p", args.model_path_p,
-               "--tiny_model", "1"]
+               "--model_path_p", args.model_path_p]
+        if not trained:
+            cmd += ["--tiny_model", "1"]
         if args.force_intra:
             cmd += ["--force_intra", "1"]
         subprocess.run(cmd, check=True, env=env)
@@ -135,25 +146,42 @@ def main():
         note = ("pipeline-validation run: synthetic stand-in sequence, "
                 "UNTRAINED tiny models; pass --model_path_i/_p for the "
                 "trained gate")
+    def nan_to_none(node):
+        """Keep the artifact strict JSON (json.dump would emit a literal
+        NaN token that non-Python parsers reject)."""
+        if isinstance(node, dict):
+            return {k: nan_to_none(v) for k, v in node.items()}
+        if isinstance(node, float) and not np.isfinite(node):
+            return None
+        return node
+
+    has_nan = json.dumps(bd, allow_nan=True).find("NaN") >= 0
+
     artifact = {
         "note": note,
         "trained_weights": trained,
         "rd_monotone": monotone,
         "anchor": ANCHOR,
         "extrapolated": args.allow_extrapolation,
-        "bd_rate_pct_vs_vtm17": bd,
+        "bd_rate_pct_vs_vtm17": nan_to_none(bd),
         "rd_points": points,
     }
     with open("artifacts/BD_RATE_GATE.json", "w") as f:
-        json.dump(artifact, f, indent=2)
+        json.dump(artifact, f, indent=2, allow_nan=False)
     print(json.dumps({k: artifact[k] for k in
                       ("trained_weights", "rd_monotone",
                        "bd_rate_pct_vs_vtm17")}, indent=2))
     print("wrote artifacts/BD_RATE_GATE.json")
+    rc = 0
     if trained and not monotone:
         print("!! RD curve not monotone", file=sys.stderr)
-        return 1
-    return 0
+        rc = 1
+    if trained and has_nan and not args.allow_extrapolation:
+        print("!! BD-rate is NaN (RD ranges do not overlap the anchor "
+              "and --allow_extrapolation is off) — gate FAILED",
+              file=sys.stderr)
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":

@@ -68,18 +68,25 @@ def build_codecs(args):
 
     dtype = jnp.bfloat16
 
-    i_cfg = TINY_CONFIG if args.tiny_model else DMCIConfig()
     if args.model_path_i == "random":
+        i_cfg = TINY_CONFIG if args.tiny_model else DMCIConfig()
         i_codec = DMCICodec.init_random(jax.random.PRNGKey(0), cfg=i_cfg,
                                         dtype=dtype,
                                         skip_thres=args.skip_thres)
     else:
-        params, _ = load_params(args.model_path_i)
+        params, hdr = load_params(args.model_path_i)
+        # trained checkpoints carry their config; the flag is a fallback
+        if "config" in hdr:
+            i_cfg = DMCIConfig(**hdr["config"])
+        else:
+            i_cfg = TINY_CONFIG if args.tiny_model else DMCIConfig()
         i_codec = DMCICodec(params, cfg=i_cfg, dtype=dtype,
                             skip_thres=args.skip_thres)
 
     p_codec, frame_delay = None, 1
     if not args.force_intra:
+        from dcvc_tpu.models.dmc_ht import DMCHTConfig
+        from dcvc_tpu.models.dmc_ld import DMCLDConfig
         if args.model_structure == "ld":
             cfg = TINY_LD_CONFIG if args.tiny_model else LD_CONFIG
             cls = DMCLDCodec
@@ -90,6 +97,13 @@ def build_codecs(args):
             else:
                 cfg = HTS_CONFIG if args.model_structure == "hts" else HTL_CONFIG
             cls = DMCHTCodec
+        if args.model_path_p != "random":
+            from dcvc_tpu.utils.checkpoint import load_header
+            hdr = load_header(args.model_path_p)
+            if "config" in hdr:
+                cfg = (DMCLDConfig(**hdr["config"])
+                       if args.model_structure == "ld"
+                       else DMCHTConfig(**hdr["config"]))
         frame_delay = cfg.frame_delay
         if args.model_path_p == "random":
             # damp random kernels so the untrained temporal recurrence
@@ -110,16 +124,19 @@ def build_codecs(args):
 _WORKER_STATE = {}
 
 
-def _init_worker(args):
-    """ProcessPoolExecutor initializer (reference test_video.py:496-500):
-    each worker owns its codecs; on a multi-chip host, workers map onto
-    chips round-robin via their pid slot."""
+def _init_worker(args, slot_counter):
+    """ProcessPoolExecutor initializer (reference test_video.py:413-419):
+    each worker owns its codecs and an EXPLICIT worker slot (a shared
+    counter, not a pid hash — pid hashing can map two workers onto the
+    same chip while another idles)."""
     import jax
 
+    with slot_counter.get_lock():
+        slot = slot_counter.value
+        slot_counter.value += 1
     n_dev = max(1, len(jax.devices()))
-    slot = (os.getpid() % n_dev)
     try:
-        jax.config.update("jax_default_device", jax.devices()[slot])
+        jax.config.update("jax_default_device", jax.devices()[slot % n_dev])
     except Exception:
         pass
     i_codec, p_codec, frame_delay = build_codecs(args)
@@ -151,6 +168,15 @@ def main():
         frame_delay = 8 if args.model_structure in ("hts", "htl") else 1
         from dcvc_tpu.models.dmci import DMCIConfig, TINY_CONFIG
         qp_num = (TINY_CONFIG if args.tiny_model else DMCIConfig()).qp_num
+        if args.model_path_i != "random":
+            from dcvc_tpu.utils.checkpoint import load_header
+            hdr = load_header(args.model_path_i)
+            if "config" in hdr:
+                qp_num = hdr["config"].get("qp_num", qp_num)
+        if args.model_path_p != "random" and not args.force_intra:
+            from dcvc_tpu.utils.checkpoint import load_header
+            hdr = load_header(args.model_path_p)
+            frame_delay = hdr.get("config", {}).get("frame_delay", frame_delay)
     else:
         i_codec, p_codec, frame_delay = build_codecs(args)
         qp_num = i_codec.cfg.qp_num
@@ -224,9 +250,11 @@ def main():
         import concurrent.futures
         import multiprocessing
         ctx = multiprocessing.get_context("spawn")
+        slot_counter = ctx.Value("i", 0)
         with concurrent.futures.ProcessPoolExecutor(
                 max_workers=args.worker, mp_context=ctx,
-                initializer=_init_worker, initargs=(args,)) as pool:
+                initializer=_init_worker,
+                initargs=(args, slot_counter)) as pool:
             results = list(pool.map(_run_point, points))
     else:
         results = [run_one_point_with_stream(p_codec, i_codec,

@@ -135,3 +135,39 @@ def test_fm_sps_helper_dedupe():
     assert (sid, new) == (0, False)
     sid, new = helper.get_sps_id({**a, "qp": 11})
     assert (sid, new) == (1, True)
+
+
+def test_rt_nal_sps_ip(tmp_path):
+    ref = _load_ref("DCVC-RT")
+    sps = {"sps_id": 3, "height": 1080, "width": 1920,
+           "use_ada_i": 1, "ec_part": 1}
+    s = _payload(40000, 9)  # > 32767 exercises the 4-byte length
+    ours, theirs = tmp_path / "a.bin", tmp_path / "b.bin"
+    with open(ours, "wb") as f:
+        lc.rt_write_sps(f, sps)
+        lc.rt_write_ip(f, True, 3, 21, s)
+        lc.rt_write_ip(f, False, 3, 29, _payload(120, 10))
+    with open(theirs, "wb") as f:
+        ref.write_sps(f, sps)
+        ref.write_ip(f, True, 3, 21, s)
+        ref.write_ip(f, False, 3, 29, _payload(120, 10))
+    assert ours.read_bytes() == theirs.read_bytes()
+
+    with open(theirs, "rb") as f:
+        h = lc.rt_read_header(f)
+        assert h["nal_type"] == lc.RT_NAL_SPS
+        assert lc.rt_read_sps_remaining(f, h["sps_id"]) == sps
+        h = lc.rt_read_header(f)
+        assert h["nal_type"] == lc.RT_NAL_I and h["sps_id"] == 3
+        assert lc.rt_read_ip_remaining(f) == (21, s)
+        h = lc.rt_read_header(f)
+        assert h["nal_type"] == lc.RT_NAL_P
+        assert lc.rt_read_ip_remaining(f) == (29, _payload(120, 10))
+
+
+def test_rt_sps_helper_dedupe():
+    helper = lc.RTSPSHelper()
+    a = {"height": 720, "width": 1280, "use_ada_i": 0, "ec_part": 1}
+    assert helper.get_sps_id(a) == (0, True)
+    assert helper.get_sps_id(dict(a)) == (0, False)
+    assert helper.get_sps_id({**a, "ec_part": 0}) == (1, True)

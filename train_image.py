@@ -43,7 +43,14 @@ def parse_args(argv):
     parser.add_argument("--save_dir", type=str, required=True)
     parser.add_argument("--train_dataset", type=str, required=True)
     parser.add_argument("--tiny_model", action="store_true")
+    parser.add_argument("--model_size", type=str, default=None,
+                        choices=["tiny", "small", "full"],
+                        help="overrides --tiny_model; `small` is the "
+                             "mid-size trained-gate config")
     parser.add_argument("--max_steps_per_epoch", type=int, default=-1)
+    parser.add_argument("--data_repeat", type=int, default=1,
+                        help="passes over the corpus per epoch (fresh "
+                             "random crops each pass; for small corpora)")
     return parser.parse_args(argv)
 
 
@@ -56,9 +63,17 @@ def main(argv):
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # persistent compile cache (per-user path; never override an
+    # explicit JAX_COMPILATION_CACHE_DIR)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import tempfile
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            tempfile.gettempdir(), f"dcvc_tpu_jax_cache_{os.getuid()}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from dcvc_tpu.data import ImageFolder, BatchLoader
     from dcvc_tpu.models.common import get_training_lambdas
-    from dcvc_tpu.models.dmci import DMCI, DMCIConfig, TINY_CONFIG
+    from dcvc_tpu.models.dmci import DMCI, DMCIConfig, TINY_CONFIG, SMALL_CONFIG
     from dcvc_tpu.parallel import make_mesh
     from dcvc_tpu.train import create_train_state, make_image_train_step
     from dcvc_tpu.train.step import make_optimizer
@@ -66,7 +81,9 @@ def main(argv):
         load_latest_status, save_params, save_status)
     import flax.serialization
 
-    cfg = TINY_CONFIG if args.tiny_model else DMCIConfig()
+    size = args.model_size or ("tiny" if args.tiny_model else "full")
+    cfg = {"tiny": TINY_CONFIG, "small": SMALL_CONFIG,
+           "full": DMCIConfig()}[size]
     model = DMCI(cfg=cfg, dtype=jnp.float32)
     lambdas = get_training_lambdas(args.lambdas, cfg.qp_num)
 
@@ -111,7 +128,8 @@ def main(argv):
                              in_shardings=(repl, data_sh, data_sh, repl),
                              out_shardings=(repl, repl))
 
-        loader = BatchLoader(dataset, args.batch_size, seed=epoch)
+        loader = BatchLoader(dataset, args.batch_size, seed=epoch,
+                             repeats=args.data_repeat)
         t0 = time.time()
         for i, batch in enumerate(loader):
             if 0 <= args.max_steps_per_epoch <= i:

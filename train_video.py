@@ -73,7 +73,14 @@ def parse_args(argv):
     parser.add_argument("--training_scheduling", type=str, default="stage0",
                         choices=["stage0", "stage1", "stage2", "stage3"])
     parser.add_argument("--tiny_model", action="store_true")
+    parser.add_argument("--model_size", type=str, default=None,
+                        choices=["tiny", "small", "full"],
+                        help="overrides --tiny_model; `small` is the "
+                             "mid-size trained-gate config (hts only)")
     parser.add_argument("--max_steps_per_epoch", type=int, default=-1)
+    parser.add_argument("--data_repeat", type=int, default=1,
+                        help="passes over the corpus per epoch (fresh "
+                             "random crops each pass; for small corpora)")
     parser.add_argument("--max_frame_num", type=int, default=-1,
                         help="clamp the schedule's frame_num (e.g. 9 to "
                              "hold single-chunk rollouts: the cascaded "
@@ -87,9 +94,13 @@ def main(argv):
 
     import jax
     # persistent compile cache: the cascaded video-step programs are the
-    # slowest compiles in the repo; cache them across runs (as bench.py)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dcvc_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # slowest compiles in the repo; cache them across runs (per-user
+    # path; never override an explicit JAX_COMPILATION_CACHE_DIR)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import tempfile
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            tempfile.gettempdir(), f"dcvc_tpu_jax_cache_{os.getuid()}"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -98,7 +109,8 @@ def main(argv):
     from dcvc_tpu.models.common import get_training_lambdas
     from dcvc_tpu.models.dmci import DMCI, DMCIConfig, TINY_CONFIG
     from dcvc_tpu.models.dmc_ht import (
-        DMCHT, HTS_CONFIG, HTL_CONFIG, TINY_HT_CONFIG, TINY_HTL_CONFIG)
+        DMCHT, HTS_CONFIG, HTL_CONFIG, TINY_HT_CONFIG, TINY_HTL_CONFIG,
+        SMALL_HT_CONFIG)
     from dcvc_tpu.models.dmc_ld import DMCLD, LD_CONFIG, TINY_LD_CONFIG
     from dcvc_tpu.parallel import make_mesh
     from dcvc_tpu.runtime.video_codec import _init_both_branches
@@ -110,28 +122,40 @@ def main(argv):
     import flax.serialization
 
     # ---- models
+    size = args.model_size or ("tiny" if args.tiny_model else "full")
     if args.model_structure == "ld":
-        p_cfg = TINY_LD_CONFIG if args.tiny_model else LD_CONFIG
+        assert size != "small", "no small LD config; use tiny or full"
+        p_cfg = TINY_LD_CONFIG if size == "tiny" else LD_CONFIG
         p_model = DMCLD(cfg=p_cfg, dtype=jnp.float32)
     else:
-        if args.tiny_model:
+        if size == "tiny":
             p_cfg = (TINY_HT_CONFIG if args.model_structure == "hts"
                      else TINY_HTL_CONFIG)
+        elif size == "small":
+            assert args.model_structure == "hts", "small config is hts-only"
+            p_cfg = SMALL_HT_CONFIG
         else:
             p_cfg = HTS_CONFIG if args.model_structure == "hts" else HTL_CONFIG
         p_model = DMCHT(cfg=p_cfg, dtype=jnp.float32)
     frame_delay = p_cfg.frame_delay
     gop = frame_delay
+    if 0 < args.max_frame_num <= gop:
+        raise SystemExit(
+            f"--max_frame_num must exceed the GOP size ({gop} for "
+            f"{args.model_structure}): need at least 1 intra + 1 chunk")
 
-    i_cfg = TINY_CONFIG if args.tiny_model else DMCIConfig()
-    i_model = DMCI(cfg=i_cfg, dtype=jnp.float32)
+    i_cfg = TINY_CONFIG if size == "tiny" else DMCIConfig()
     if args.model_path_i == "random":
+        i_model = DMCI(cfg=i_cfg, dtype=jnp.float32)
         x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
         i_params = jax.jit(lambda r1, r2: i_model.init(
             {"params": r1}, x0, jnp.zeros((1,), jnp.int32), r2))(
             jax.random.PRNGKey(10), jax.random.PRNGKey(11))["params"]
     else:
-        i_params, _ = load_params(args.model_path_i)
+        i_params, i_hdr = load_params(args.model_path_i)
+        if "config" in i_hdr:
+            i_cfg = DMCIConfig(**i_hdr["config"])
+        i_model = DMCI(cfg=i_cfg, dtype=jnp.float32)
 
     lambdas = get_training_lambdas(args.lambdas, p_cfg.qp_num)
     ch_src = getattr(p_cfg, "ch_src_intra", getattr(p_cfg, "ch_src", 192))
@@ -201,7 +225,8 @@ def main(argv):
                 out_shardings=(repl, repl))
         train_step = compiled[key]
 
-        loader = BatchLoader(dataset, args.batch_size, seed=epoch)
+        loader = BatchLoader(dataset, args.batch_size, seed=epoch,
+                             repeats=args.data_repeat)
         t0 = time.time()
         for i, batch in enumerate(loader):
             if 0 <= args.max_steps_per_epoch <= i:
