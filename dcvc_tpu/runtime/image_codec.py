@@ -66,12 +66,26 @@ class DMCICodec:
     """Holds model params + CDF banks + compiled-program cache and
     implements compress/decompress against the NAL bitstream payload."""
 
-    def __init__(self, params, cfg=None, skip_thres=0.0, dtype=jnp.bfloat16):
-        self.cfg = cfg or DMCIConfig()
-        self.model = DMCI(cfg=self.cfg, dtype=dtype)
+    MODEL_CLS = DMCI
+    CONFIG_CLS = DMCIConfig
+    MAX_EC = 8          # DCVC-RT's container caps this at 2 (1-bit SPS flag)
+
+    def __init__(self, params, cfg=None, skip_thres=0.0, dtype=jnp.bfloat16,
+                 spatial_mesh=None):
+        self.cfg = cfg or self.CONFIG_CLS()
+        self.model = self.MODEL_CLS(cfg=self.cfg, dtype=dtype)
         self.params = params
         self.dtype = dtype
         self.skip_thres = float(skip_thres)
+        # container formats with a sequence-level lane flag (DCVC-RT SPS
+        # ec_part) pin the lane count instead of sizing it per frame
+        self.force_ec = None
+        # 4K-latency scaling: H-shard the heavy conv transforms
+        # (analysis/synthesis) over this mesh; GSPMD inserts the 3x3-conv
+        # halo exchanges (parallel/spatial.py).  Symbol bookkeeping stays
+        # replicated, so streams are REQUIRED to be identical to the
+        # unsharded codec (tests/test_spatial_stream.py enforces it).
+        self.spatial_mesh = spatial_mesh
 
         # CDF banks (reference CompressionModel.update + add_cdf_to_state_dict)
         be = BitEstimator(self.cfg.qp_num, self.cfg.ch_z)
@@ -104,8 +118,8 @@ class DMCICodec:
     @classmethod
     def init_random(cls, rng=None, cfg=None, dtype=jnp.bfloat16, **kwargs):
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        cfg = cfg or DMCIConfig()
-        model = DMCI(cfg=cfg, dtype=dtype)
+        cfg = cfg or cls.CONFIG_CLS()
+        model = cls.MODEL_CLS(cfg=cfg, dtype=dtype)
         x = jnp.zeros((1, 64, 64, 3), dtype)
         # jit the init: one compile instead of hundreds of eager per-op
         # dispatches (which crawl on high-latency dispatch paths)
@@ -147,8 +161,18 @@ class DMCICodec:
             packed_idx, packed_pos, count = compact_idx(idx, cond)
             return packed_idx, packed_pos, count, cond
 
-        @jax.jit
-        def analysis(x, qp):
+        if self.spatial_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            _sp = NamedSharding(self.spatial_mesh,
+                                PartitionSpec(None, "data", None, None))
+            _rp = NamedSharding(self.spatial_mesh, PartitionSpec())
+
+            def _jit_sharded(fn, in_sh, out_sh):
+                return jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+        else:
+            _sp = _rp = None
+
+        def _analysis(x, qp):
             """Encoder-only: pad + analysis transform.  z is materialized
             as int8 (exact) before any shared consumer sees it."""
             x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)),
@@ -156,6 +180,15 @@ class DMCICodec:
             y_scaled, z_int8 = model.apply(variables, x.astype(model.dtype),
                                            qp, method=DMCI.analysis)
             return y_scaled.astype(jnp.float32), z_int8
+
+        if self.spatial_mesh is not None:
+            # H-sharded conv stack; replicated outputs keep every symbol
+            # tensor bit-identical to the unsharded program chain
+            analysis = _jit_sharded(
+                lambda x, qp: _analysis(jax.lax.with_sharding_constraint(
+                    x, _sp), qp), (_sp, _rp), (_rp, _rp))
+        else:
+            analysis = jax.jit(_analysis)
 
         @jax.jit
         def prior0(z_int8):
@@ -208,11 +241,18 @@ class DMCICodec:
             dense = expand_from_pos(packed_pos, decoded_padded, n_cand)
             return dense.reshape(1, yh // 2, yw // 2, ch_y)
 
-        @jax.jit
-        def synthesis(y_hat_so_far, qp):
+        def _synthesis(y_hat_so_far, qp):
             """SHARED enc+dec reconstruction."""
             return model.apply(variables, y_hat_so_far, qp, h, w,
                                method=DMCI.synthesis)
+
+        if self.spatial_mesh is not None:
+            # latent rows sharded through the synthesis conv stack
+            synthesis = _jit_sharded(
+                lambda yy, qp: _synthesis(jax.lax.with_sharding_constraint(
+                    yy, _sp), qp), (_rp, _rp), _rp)
+        else:
+            synthesis = jax.jit(_synthesis)
 
         @functools.lru_cache(maxsize=64)
         def slice_prog(bucket):
@@ -302,7 +342,8 @@ class DMCICodec:
         z_np = np.asarray(st["z_int8"])
 
         total = sum(counts_np)
-        ec_parallel = rans.compute_ec_parallel(total)
+        ec_parallel = self.force_ec or min(rans.compute_ec_parallel(total),
+                                           self.MAX_EC)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
         for k in range(3, -1, -1):  # reverse step order (dmci_proxy.cpp:838)
