@@ -110,6 +110,17 @@ class FamilyRunner:
                 self.p_codec = DMCFMCodec.init_random(
                     r2, cfg=self._tiny_cfg(DMCFMConfig, tiny),
                     init_scale=0.4)
+        elif m == "rt":
+            import jax.numpy as jnp
+            from ..legacy.rt_intra import TINY_RT_INTRA_CONFIG
+            from ..runtime.rt_image_codec import RTIntraCodec
+            from ..legacy.dcvc_rt import DMCRTCodec, TINY_RT_CONFIG
+            self.i_codec = RTIntraCodec.init_random(
+                r1, cfg=TINY_RT_INTRA_CONFIG if tiny else None,
+                dtype=jnp.float32)
+            self.p_codec = DMCRTCodec.init_random(
+                r2, cfg=TINY_RT_CONFIG if tiny else None,
+                dtype=jnp.float32, init_scale=0.4)
         else:
             raise ValueError(f"unknown model {self.model}")
 
@@ -137,6 +148,8 @@ class FamilyRunner:
     def run_sequence(self, frames_rgb, rate_idx, gop, seq_name="seq"):
         """frames_rgb: list of (3, h, w) uint8-valued arrays.  Returns a
         per-sequence result dict (bits/psnr per frame + averages)."""
+        if self.model == "rt":
+            return self.run_sequence_rt(frames_rgb, rate_idx, gop, seq_name)
         h, w = frames_rgb[0].shape[1:]
         self._h, self._w = h, w
         q = int(np.round(np.linspace(12, 51, max(self.rate_num, 2))
@@ -337,17 +350,116 @@ class FamilyRunner:
                                                f"{seq_name}_r{r}")
                 for r in rate_indices}
 
+    # -------------------------------------------------------------- DCVC-RT
+
+    def run_sequence_rt(self, frames_rgb, rate_idx, gop, seq_name="seq"):
+        """DCVC-RT end-to-end: its NAL container (qp in the IP NAL),
+        RT intra codec, qp_shift=[0,8,4] over the fa schedule
+        (DCVC-RT/test_video.py:164-203) and the SPS-pinned 1-bit
+        entropy-coder parallelism."""
+        from ..legacy.dcvc_rt import INDEX_MAP as RT_INDEX_MAP, shift_qp
+        h, w = frames_rgb[0].shape[1:]
+        qp_num = self.p_codec.cfg.qp_num
+        q64 = int(np.round(np.linspace(12, 51, max(self.rate_num, 2))
+                           [min(rate_idx, self.rate_num - 1)]))
+        q = int(round(q64 * (qp_num - 1) / 63))
+        frames = [np.ascontiguousarray(
+            f.transpose(1, 2, 0).astype(np.float32) / 255.0)[None]
+            for f in frames_rgb]
+        n = len(frames)
+        path = os.path.join(self.stream_dir, f"{seq_name}_rt_q{q}.bin")
+
+        # sequence-level lane pin (reference set_use_two_entropy_coders,
+        # DCVC-RT/test_video.py:152-153): 2 lanes at >=720p
+        ec = 2 if h * w >= 1280 * 720 else 1
+        self.i_codec.force_ec = ec
+        self.p_codec.force_ec = ec
+
+        sps = {"height": h, "width": w, "use_ada_i": 0, "ec_part": ec - 1}
+        sps_helper = lc.RTSPSHelper()
+        enc_recons, types = [], []
+        t0 = time.time()
+        with open(path, "wb") as f:
+            for i, x in enumerate(frames):
+                is_i = i % gop == 0 if gop > 0 else i == 0
+                types.append(0 if is_i else 1)
+                sps_id, is_new = sps_helper.get_sps_id(sps)
+                if is_new:
+                    lc.rt_write_sps(f, {**sps, "sps_id": sps_id})
+                if is_i:
+                    res = self.i_codec.compress(x, q, h, w)
+                    lc.rt_write_ip(f, True, sps_id, q, res["bit_stream"])
+                    self.p_codec.clear_dpb()
+                    self.p_codec.add_ref_feature_from_frame(
+                        res["x_hat"], h, w)
+                else:
+                    fa = RT_INDEX_MAP[i % len(RT_INDEX_MAP)]
+                    curr_qp = shift_qp(q, fa, qp_num)
+                    res = self.p_codec.compress(x, curr_qp, recon=True,
+                                                h=h, w=w)
+                    lc.rt_write_ip(f, False, sps_id, curr_qp,
+                                   res["bit_stream"])
+                enc_recons.append(np.asarray(res["x_hat"]))
+        enc_time = time.time() - t0
+
+        t0 = time.time()
+        dec_recons = []
+        sps_helper = lc.RTSPSHelper()
+        with open(path, "rb") as f:
+            while len(dec_recons) < n:
+                header = lc.rt_read_header(f)
+                if header["nal_type"] == lc.RT_NAL_SPS:
+                    sps_helper.add_sps_by_id(
+                        lc.rt_read_sps_remaining(f, header["sps_id"]))
+                    continue
+                got = sps_helper.get_sps_by_id(header["sps_id"])
+                ec_dec = got["ec_part"] + 1
+                qp_f, stream = lc.rt_read_ip_remaining(f)
+                if header["nal_type"] == lc.RT_NAL_I:
+                    out = self.i_codec.decompress(
+                        stream, qp_f, got["height"], got["width"], ec_dec)
+                    self.p_codec.clear_dpb()
+                    self.p_codec.add_ref_feature_from_frame(
+                        out["x_hat"], got["height"], got["width"])
+                else:
+                    out = self.p_codec.decompress(
+                        stream, qp_f, got["height"], got["width"], ec_dec)
+                dec_recons.append(np.asarray(out["x_hat"]))
+        dec_time = time.time() - t0
+
+        total_bits = os.path.getsize(path) * 8
+        result = {"frame_bpp": [total_bits / n / (h * w)] * n,
+                  "frame_psnr": [], "frame_type": types, "bitexact": True}
+        for i in range(n):
+            if self.verify and not np.array_equal(enc_recons[i],
+                                                  dec_recons[i]):
+                result["bitexact"] = False
+            result["frame_psnr"].append(
+                _psnr_rgb(dec_recons[i], frames_rgb[i]))
+        result["avg_bpp"] = float(np.mean(result["frame_bpp"]))
+        result["avg_psnr"] = float(np.mean(result["frame_psnr"]))
+        i_mask = [t == 0 for t in types]
+        result["avg_psnr_i"] = float(np.mean(
+            [p for p, m in zip(result["frame_psnr"], i_mask) if m]))
+        p_ps = [p for p, m in zip(result["frame_psnr"], i_mask) if not m]
+        result["avg_psnr_p"] = float(np.mean(p_ps)) if p_ps else 0.0
+        result["avg_frame_encoding_time"] = enc_time / n
+        result["avg_frame_decoding_time"] = dec_time / n
+        result["q_index"] = q
+        return result
+
     # ------------------------------------------------- fast (no-stream)
 
     def run_sequence_fast(self, frames_rgb, rate_idx, gop, seq_name="seq"):
         """Estimated-bits eval without entropy coding — the reference's
         fast mode (DCVC-FM/src/utils/test_helper.py:134,
-        DCVC/test_video.py:156-175).  P-frame rates come from the eval
-        forward on rounded latents; I-frames still run the real intra
-        codec.  Supported for models with an eval forward: fm, dcvc."""
+        DCVC/test_video.py:156-175, and the same estimated-bits path in
+        DCVC-TCM/DCVC-HEM test_video.py).  P-frame rates come from the
+        eval forward on rounded latents; I-frames still run the real
+        intra codec.  Supported: fm, dcvc, tcm, hem."""
         import jax
         import jax.numpy as jnp
-        assert self.model in ("fm", "dcvc"), \
+        assert self.model in ("fm", "dcvc", "tcm", "hem"), \
             f"fast mode not implemented for {self.model}"
         h, w = frames_rgb[0].shape[1:]
         assert h % 64 == 0 and w % 64 == 0, "fast mode expects 64-multiples"
@@ -362,6 +474,12 @@ class FamilyRunner:
         if self.model == "fm":
             fwd = jax.jit(lambda x, dpb, qi, fa: model.apply(
                 variables, x, dpb, qi, fa, None))
+        elif self.model == "tcm":
+            fwd = jax.jit(lambda x, ref, feat: model.apply(
+                variables, x, ref, feat))
+        elif self.model == "hem":
+            fwd = jax.jit(lambda x, dpb, mv_q, y_q: model.apply(
+                variables, x, dpb, mv_q, y_q, None))
         else:
             fwd = jax.jit(lambda ref, cur: model.apply(variables, ref, cur))
 
@@ -370,11 +488,12 @@ class FamilyRunner:
         t0 = time.time()
         dpb = None
         ref = None
+        feat = None
         for i, x in enumerate(frames):
             is_i = i % gop == 0 if gop > 0 else i == 0
             result["frame_type"].append(0 if is_i else 1)
             if is_i:
-                if self.model == "fm":
+                if self.model in ("fm", "hem"):
                     res_i = self.i_codec.compress(
                         x, float(self.i_q_scales[q]), h, w)
                     bits = len(res_i["bit_stream"]) * 8
@@ -387,14 +506,29 @@ class FamilyRunner:
                     dpb = {"ref_frame": x_hat, "ref_feature": None,
                            "ref_mv_feature": None, "ref_y": None,
                            "ref_mv_y": None}
+                elif self.model == "hem":
+                    dpb = {"ref_frame": x_hat, "ref_feature": None,
+                           "ref_y": None, "ref_mv_y": None}
                 else:
-                    ref = x_hat
+                    ref, feat = x_hat, None
                 bpp = bits / (h * w)
             else:
                 if self.model == "fm":
                     fa = INDEX_MAP_FM[i % len(INDEX_MAP_FM)]
                     res, dpb = fwd(jnp.asarray(x), dpb, q, fa)
                     x_hat = dpb["ref_frame"]
+                    bpp = float(res["bpp"][0])
+                elif self.model == "hem":
+                    res = fwd(jnp.asarray(x), dpb,
+                              float(self.mv_q_scales[q]),
+                              float(self.y_q_scales[q]))
+                    dpb = res["dpb"]
+                    x_hat = jnp.clip(dpb["ref_frame"], 0.0, 1.0)
+                    bpp = float(res["bpp"][0])
+                elif self.model == "tcm":
+                    res = fwd(jnp.asarray(x), ref, feat)
+                    x_hat = jnp.clip(res["recon_image"], 0.0, 1.0)
+                    ref, feat = x_hat, res["feature"]
                     bpp = float(res["bpp"][0])
                 else:
                     res = fwd(ref, jnp.asarray(x))

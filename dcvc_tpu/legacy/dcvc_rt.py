@@ -88,6 +88,8 @@ class ResidualBlockUpsample(nn.Module):
 
 QP_SHIFT = [0, 8, 4]
 EXTRA_QP = max(QP_SHIFT)
+# fa schedule driving the qp_shift (reference test_video.py:164,197)
+INDEX_MAP = [0, 1, 0, 2, 0, 2, 0, 2]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -369,6 +371,7 @@ class DMCRTCodec:
 
     def __new__(cls, model, params, **kwargs):
         from ..runtime.video_codec import VideoCodecBase
+        kwargs.setdefault("max_ec", 2)  # RT SPS carries a 1-bit ec_part
         return VideoCodecBase(model, params, **kwargs)
 
     @staticmethod
@@ -385,4 +388,5 @@ class DMCRTCodec:
         memory = jnp.zeros((1, 8, 8, cfg.ch_d), dtype)
         params = _init_both_branches(model, x, ref_intra, ref_feat, memory,
                                      rng, init_scale)
+        kwargs.setdefault("max_ec", 2)  # RT SPS carries a 1-bit ec_part
         return VideoCodecBase(model, params, **kwargs)

@@ -49,11 +49,15 @@ from .symbols import (compact_idx, compact_vals, expand_from_pos,
 class VideoCodecBase:
     """Shared runtime for DMCHT (hts/htl) and DMCLD."""
 
-    def __init__(self, model, params, skip_thres=0.0):
+    def __init__(self, model, params, skip_thres=0.0, max_ec=8):
         self.model = model
         self.cfg = model.cfg
         self.params = params
         self.skip_thres = float(skip_thres)
+        # container formats may cap lane count (DCVC-RT: 1-bit ec_part)
+        # or pin it sequence-wide (force_ec; RT SPS flag)
+        self.max_ec = int(max_ec)
+        self.force_ec = None
 
         # HT configs carry is_hts; LD does not (2-step checkerboard);
         # configs may also pin prior_steps / single_pass explicitly
@@ -65,7 +69,10 @@ class VideoCodecBase:
                                    (self.steps == 2) or is_hts)
         self.frame_delay = self.cfg.frame_delay
 
-        be = BitEstimator(self.cfg.qp_num, self.cfg.ch_z)
+        # DCVC-RT extends the banks by EXTRA_QP rows for its
+        # module-bank qp_shift schedule (legacy/dcvc_rt.py:QP_SHIFT)
+        self.qp_bank = getattr(self.cfg, "qp_bank", self.cfg.qp_num)
+        be = BitEstimator(self.qp_bank, self.cfg.ch_z)
         z_cdf, z_len = be.compute_cdf_bank(params["bit_estimator_z"], 8)
         g = GaussianConditional(skip_thres)
         y_cdf, y_len = g.compute_cdf_bank()
@@ -382,7 +389,7 @@ class VideoCodecBase:
                        w=None, recon=False):
         """Dispatch all device work + start async fetches; no host sync.
         Returns a state dict for compress_finish."""
-        assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
+        assert 0 <= int(qp) < self.qp_bank, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         x = jnp.asarray(x)
         h = x.shape[1] if h is None else h
@@ -447,7 +454,8 @@ class VideoCodecBase:
         p = st["p"]
         counts_np = [int(c) for c in st["counts"]]
         total = sum(counts_np)
-        ec_parallel = rans.compute_ec_parallel(total)
+        ec_parallel = self.force_ec or min(rans.compute_ec_parallel(total),
+                                           self.max_ec)
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
         if self.single_pass:
@@ -510,7 +518,7 @@ class VideoCodecBase:
         """Entropy decode + device ladder up to the decoder feature/DPB
         update.  `pre_wait` is called right before the blocking
         CDF-index fetch (a slot for pipelined device work)."""
-        assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
+        assert 0 <= int(qp) < self.qp_bank, f"qp {qp} out of range"
         assert self.ref_feature is not None, "DPB empty: add a ref frame first"
         p = self._get_programs(h, w)
         ph, pw, yh, yw, zh, zw, n_cand = p["dims"]

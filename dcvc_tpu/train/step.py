@@ -11,6 +11,16 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..core.color import rgb2ycbcr
+
+
+def to_model_domain(x):
+    """uint8 RGB batches convert on-device (the loaders' raw_rgb fast
+    path: 4x less H2D than float32 YCbCr); float input passes through."""
+    if x.dtype == jnp.uint8:
+        return rgb2ycbcr(x.astype(jnp.float32) / 255.0) - 0.5
+    return x
+
 
 @flax.struct.dataclass
 class TrainState:
@@ -42,6 +52,7 @@ def make_image_train_step(model, tx, lambdas):
     lambdas = jnp.asarray(lambdas, jnp.float32)
 
     def loss_fn(params, x, qp, rng):
+        x = to_model_domain(x)
         out = model.apply({"params": params}, x, qp, rng)
         lam = jnp.take(lambdas, qp)
         losses = lam * out["mse"] + out["bpp"]

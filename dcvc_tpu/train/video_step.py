@@ -17,7 +17,7 @@ import optax
 
 from ..core.shuffle import pixel_unshuffle
 from ..models import common as mcommon
-from .step import TrainState
+from .step import TrainState, to_model_domain
 
 
 def make_video_train_step(model, tx, lambdas, n_chunks, cascaded=True,
@@ -45,6 +45,12 @@ def make_video_train_step(model, tx, lambdas, n_chunks, cascaded=True,
 
     def loss_fn(params, intra_recon, chunks, qp, rng):
         variables = {"params": params}
+        if chunks.dtype == jnp.uint8:
+            # (B, n, H, W, 3*gop) uint8 RGB -> YCbCr-centered per frame
+            b, n, h, w, c = chunks.shape
+            chunks = to_model_domain(
+                chunks.reshape(b, n, h, w, c // 3, 3)).reshape(
+                b, n, h, w, c)
         ref = pixel_unshuffle(jax.lax.stop_gradient(intra_recon), 8)
         ref = ref.astype(model.dtype)
 

@@ -31,7 +31,7 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", required=True,
-                   choices=["dcvc", "tcm", "hem", "dc", "fm"])
+                   choices=["dcvc", "tcm", "hem", "dc", "fm", "rt"])
     p.add_argument("--test_config", required=True)
     p.add_argument("--rate_num", type=int, default=1)
     p.add_argument("--gop", type=int, default=32,
@@ -44,7 +44,8 @@ def parse_args():
                    help="tiny model configs (smoke/CI)")
     p.add_argument("--fast", action="store_true",
                    help="estimated-bits mode without entropy coding "
-                        "(fm/dcvc; reference test_helper.py:134)")
+                        "(fm/dcvc/tcm/hem; reference test_helper.py:134, "
+                        "DCVC/test_video.py:156-175)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 

@@ -43,7 +43,7 @@ def png_seq(tmp_path_factory):
     return cfg_path
 
 
-@pytest.mark.parametrize("model", ["tcm", "hem", "dc", "fm", "dcvc"])
+@pytest.mark.parametrize("model", ["tcm", "hem", "dc", "fm", "dcvc", "rt"])
 def test_family_cli(model, png_seq, tmp_path):
     out = tmp_path / f"{model}.json"
     env = dict(os.environ,
@@ -68,7 +68,7 @@ def test_family_cli(model, png_seq, tmp_path):
     assert bins
 
 
-@pytest.mark.parametrize("model", ["fm", "dcvc"])
+@pytest.mark.parametrize("model", ["fm", "dcvc", "tcm", "hem"])
 def test_family_cli_fast_mode(model, png_seq, tmp_path):
     """Estimated-bits fast mode (reference DCVC-FM test_helper.py:134 /
     DCVC test_video.py:156-175): no containers, rates from the eval

@@ -95,7 +95,10 @@ def main(argv):
 
     strategy = get_training_strategy()
     _, lr0, pw, ph = strategy[0]
-    dataset = ImageFolder(args.train_dataset, ph, pw, cfg.qp_num, lambdas)
+    # raw_rgb: ship uint8, convert to YCbCr inside the jitted step (4x
+    # less H2D; dominates step time on tunneled device links)
+    dataset = ImageFolder(args.train_dataset, ph, pw, cfg.qp_num, lambdas,
+                          raw_rgb=True)
 
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)

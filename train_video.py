@@ -178,16 +178,22 @@ def main(argv):
     assert args.batch_size % n_dev == 0
 
     # ---- frozen intra recon (seed) program
+    from dcvc_tpu.train.step import to_model_domain
+
     @jax.jit
     def intra_recon(x, qp, rng):
-        out = i_model.apply({"params": i_params}, x, qp, rng)
+        out = i_model.apply({"params": i_params}, to_model_domain(x),
+                            qp, rng)
         return jax.lax.stop_gradient(out["x_hat"])
 
     strategy = get_training_strategy(args.training_scheduling, frame_delay,
                                      args.model_structure)
     _, lr0, frame_num0, _, pw, ph = strategy[0]
+    # raw_rgb: uint8 transport + on-device color conversion (see
+    # train_image.py note; the win is 4x larger here - gop frames/sample)
     dataset = VideoFolder(args.train_dataset, ph, pw, p_cfg.qp_num, lambdas,
-                          frame_num=frame_num0, group_of_pictures=gop)
+                          frame_num=frame_num0, group_of_pictures=gop,
+                          raw_rgb=True)
 
     tx = make_optimizer(lr0, clip_norm=0.2)
     state = create_train_state(p_params, tx)
