@@ -105,12 +105,21 @@ def phase_terms_2x(c):
 
 
 def phase_unshuffle(x):
-    """Phase-major space-to-depth: (b, h, w, c) -> (b, h/2, w/2, 4c) with
-    output channel (yy*2 + xx)*c + ch.  Unlike stride-2 spatial slicing
-    (a full relayout per phase, ~13 ms at 1080p latent sizes), this is one
-    transpose XLA lowers efficiently, and each phase becomes a contiguous
-    lane-aligned channel slice."""
+    """Phase-major space-to-depth: (b, h, w, c) -> (b, ⌈h/2⌉, ⌈w/2⌉, 4c)
+    with output channel (yy*2 + xx)*c + ch.  Unlike stride-2 spatial
+    slicing (a full relayout per phase, ~13 ms at 1080p latent sizes),
+    this is one transpose XLA lowers efficiently, and each phase becomes
+    a contiguous lane-aligned channel slice.
+
+    Odd grids (the reference pads frames to 16, so latent grids at e.g.
+    720p/2160p are odd, common_model.py:95-100): the grid is zero-padded
+    to even; the padded lanes are excluded from coding by phase_valid()
+    and cropped away by phase_merge(), so they never influence symbols
+    or reconstruction."""
     b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        h, w = h + h % 2, w + w % 2
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h // 2, w // 2, 4 * c)
@@ -128,10 +137,11 @@ def phase_split(x, terms):
     return jnp.concatenate(parts, axis=-1)
 
 
-def phase_merge(xc, terms, c):
+def phase_merge(xc, terms, c, out_h=None, out_w=None):
     """Inverse of phase_split: scatter candidate channels back to their
     (phase, channel-range) positions of the full (1, h, w, c) grid;
-    positions not covered by any term are zero."""
+    positions not covered by any term are zero.  out_h/out_w crop the
+    merged grid back to an odd size (the zero-padded candidate lanes)."""
     h2, w2 = xc.shape[1], xc.shape[2]
     # regroup terms by channel range (2x masks have 2 phases per range)
     by_range = {}
@@ -163,4 +173,33 @@ def phase_merge(xc, terms, c):
         t = jnp.stack([jnp.stack(grid[0], axis=3),
                        jnp.stack(grid[1], axis=3)], axis=2)
         outs.append(t.reshape(1, 2 * h2, 2 * w2, hi - lo))
-    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    if out_h is not None and (out_h != 2 * h2 or out_w != 2 * w2):
+        out = out[:, :out_h, :out_w, :]
+    return out
+
+
+@functools.lru_cache(maxsize=256)
+def phase_valid(h, w, terms_key):
+    """Flat bool (numpy) over the candidate domain of phase_split(x,
+    terms) on an (h, w) grid: True where the candidate maps to a real
+    grid position, False on the zero-padded even-ing row/col.  terms_key
+    must be the tuple(terms) of the matching phase_split call.
+
+    The runtimes AND this into the coding condition so odd grids emit
+    exactly the reference's symbol set (mask generation at arbitrary
+    sizes, common_model.py:95-100 crops the repeated micro mask to
+    [:H, :W])."""
+    h2, w2 = (h + 1) // 2, (w + 1) // 2
+    cols = []
+    for ((yo, xo), lo, hi) in terms_key:
+        vr = (yo + 2 * np.arange(h2)) < h
+        vc = (xo + 2 * np.arange(w2)) < w
+        v = vr[:, None] & vc[None, :]
+        cols.append(np.repeat(v[:, :, None], hi - lo, 2))
+    return np.concatenate(cols, axis=2).reshape(-1)
+
+
+def terms_key(terms):
+    """Hashable form of a phase-terms list (for phase_valid's cache)."""
+    return tuple((tuple(ph), lo, hi) for (ph, lo, hi) in terms)

@@ -227,7 +227,11 @@ class StackedDCB(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rows=None):
+        """rows=(lo, hi): evaluate only that static sub-range of the
+        stack (param layout stays full-shape / checkpoint-compatible).
+        Lets the runtime dispatch the recon head in frame slices that
+        fill the decode ladder's host-wait gaps."""
         S = self.stacks
         inner = self.out_ch // (2 if self.dcb2 else 1)
         dt = self.dtype
@@ -255,6 +259,17 @@ class StackedDCB(nn.Module):
         w2 = declare("dc_out", inner, self.out_ch)
         w3 = declare("ffn_in", self.out_ch, 4 * inner)
         w4 = declare("ffn_out", inner, self.out_ch)
+
+        if rows is not None:
+            lo, hi = rows
+            S = hi - lo
+            sl = lambda a: a[lo:hi]
+            wa = (sl(wa[0]), sl(wa[1])) if wa is not None else None
+            w1 = (sl(w1[0]), sl(w1[1]))
+            wd, bd = sl(wd), sl(bd)
+            w2 = (sl(w2[0]), sl(w2[1]))
+            w3 = (sl(w3[0]), sl(w3[1]))
+            w4 = (sl(w4[0]), sl(w4[1]))
 
         if _fused_ok(x, self.in_ch, self.out_ch, inner, stacked=True):
             from ..kernels.fused_dcb import fused_dcb_stacked

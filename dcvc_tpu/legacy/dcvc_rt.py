@@ -258,8 +258,9 @@ class DMCRT(nn.Module):
     def analysis(self, x, feature, qp):
         ctx, ctx_t = self.feature_extractor(feature,
                                             self._q(self.q_feature, qp))
+        from ..core.padding import pad_for_y
         y = self.encoder(x, ctx, self._q(self.q_encoder, qp))
-        z = self.hyper_encoder(y)
+        z = self.hyper_encoder(pad_for_y(y))  # RT video_model.py:311
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)),
                           -128, 127).astype(jnp.int8)
         return y, z_int8

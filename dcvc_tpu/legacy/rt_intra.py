@@ -168,16 +168,19 @@ class DMCIRT(nn.Module):
 
     def analysis(self, x, qp):
         """x (1, H, W, 3) in [0, 1] padded -> (y f32 UNSCALED, z_int8)."""
+        from ..core.padding import pad_for_y
         y = self.enc(x, self._q(self.q_scale_enc, qp))
-        z = self.hyper_enc(y)
+        z = self.hyper_enc(pad_for_y(y))  # RT video_model.py:311
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)),
                           -128, 127).astype(jnp.int8)
         return y.astype(jnp.float32), z_int8
 
     def prior0(self, z_int8, yh, yw):
         z_hat = z_int8.astype(self.dtype)
-        params = self.y_prior_fusion(self.hyper_dec(z_hat))
-        params = params[:, :yh, :yw, :]
+        # crop the 4-aligned hyper grid to the (possibly odd) y grid
+        # BEFORE fusion (reference crop_hyper_params)
+        hyper = self.hyper_dec(z_hat)[:, :yh, :yw, :]
+        params = self.y_prior_fusion(hyper)
         q_enc, q_dec, scales, means = separate_prior_rt_image(params)
         ctx = self.y_spatial_prior_reduction(params)
         return scales, means, ctx, q_enc, q_dec

@@ -254,26 +254,33 @@ class HTReconHead(nn.Module):
         self.out_b = self.param("out_b", nn.initializers.zeros,
                                 (fd, c.ch_src_intra), jnp.float32)
 
-    def __call__(self, x, for_reset=False, phase_major=False):
+    def __call__(self, x, for_reset=False, phase_major=False, rows=None):
         """phase_major: emit head channels in (i*8+j)*3+c order (the
         packed-frame kernel's contract, kernels/depth_to_space.py) by
         permuting the OUTPUT WEIGHTS — free, and the stored param layout
         stays checkpoint-compatible.  The reset path always uses the
-        torch order (the 192-ch seed feature feeds adaptor convs)."""
+        torch order (the 192-ch seed feature feeds adaptor convs).
+
+        rows=(lo, hi): evaluate only frames lo..hi (static, even bounds
+        for HTS so shared trunk pairs stay intact) — the runtime slices
+        the recon head so its dispatches fill the decode ladder's
+        host-wait gaps."""
         c = self.cfg
         fd = c.frame_delay
+        lo, hi = rows if rows is not None else (0, fd)
         dt = self.dtype
         x = x.astype(dt)
         if c.is_hts:
-            xt = jnp.broadcast_to(x[None], (fd // 2,) + x.shape)
+            assert lo % 2 == 0 and hi % 2 == 0, "HTS trunk pairs"
+            xt = jnp.broadcast_to(x[None], ((hi - lo) // 2,) + x.shape)
             for blk in self.trunk:
-                xt = blk(xt)
+                xt = blk(xt, rows=(lo // 2, hi // 2))
             xh = jnp.repeat(xt, 2, axis=0)
         else:
-            xh = jnp.broadcast_to(x[None], (fd,) + x.shape)
+            xh = jnp.broadcast_to(x[None], (hi - lo,) + x.shape)
         for blk in self.heads:
-            xh = blk(xh)
-        out_w, out_b = self.out_w, self.out_b
+            xh = blk(xh, rows=(lo, hi))
+        out_w, out_b = self.out_w[lo:hi], self.out_b[lo:hi]
         if phase_major and not for_reset:
             from ..kernels.depth_to_space import phase_major_perm
             perm = phase_major_perm(8, 3)
@@ -284,7 +291,7 @@ class HTReconHead(nn.Module):
                                 (((3,), (0,)), ((), ())),
                                 preferred_element_type=dt)
             + out_b[s].astype(dt)
-            for s in range(fd)])
+            for s in range(hi - lo)])
         if for_reset:
             return out[-1]
         return out
@@ -356,7 +363,11 @@ class DMCHT(nn.Module):
     def _prior_params(self, z_hat, memory, qp):
         temporal = self.temporal_prior_encoder(memory,
                                                self._q(self.q_feature, qp))
-        hyper = self.hyper_decoder(z_hat)
+        # hyper lives on the 4-aligned grid; crop to the (possibly odd)
+        # y grid BEFORE fusion (reference crop_hyper_params,
+        # dmc_hts_proxy.cpp:524-526)
+        hyper = self.hyper_decoder(z_hat)[
+            :, :temporal.shape[1], :temporal.shape[2], :]
         return self.y_prior_fusion(hyper, temporal)
 
     def prior0(self, z_int8, memory, qp, yh, yw):
@@ -381,9 +392,14 @@ class DMCHT(nn.Module):
         return scales, means
 
     def analysis(self, x, ctx, qp):
-        """Padded chunk (1, H, W, 3*frame_delay) -> (y, z_int8)."""
+        """Padded chunk (1, H, W, 3*frame_delay) -> (y, z_int8).
+
+        y may sit on an odd grid (frames pad to 16); only the stride-2
+        hyper path needs 4-alignment (reference pad_for_y,
+        dmc_hts_proxy.cpp:519-526)."""
+        from ..core.padding import pad_for_y
         y = self.encoder(x, ctx, self._q(self.q_encoder, qp))
-        z = self.hyper_encoder(y)
+        z = self.hyper_encoder(pad_for_y(y))
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)), -128, 127).astype(jnp.int8)
         return y, z_int8
 
@@ -395,7 +411,7 @@ class DMCHT(nn.Module):
         return self.decoder(y_hat.astype(self.dtype), ctx,
                             self._q(self.q_decoder, qp))
 
-    def recon_frames(self, feature, qp, out_h, out_w):
+    def recon_frames(self, feature, qp, out_h, out_w, frames=None):
         """Decode-only: recon heads -> (F, out_h, out_w*3) packed-RGB
         rows.
 
@@ -404,9 +420,14 @@ class DMCHT(nn.Module):
         dim lane-wide.  Row-major bytes are identical, so the host
         reshapes to (F, h, w, 3) as a free view.  Emission goes through
         the phase-major packed-frame path (kernels/depth_to_space.py,
-        ~7x faster than the pixel-shuffle transpose chain)."""
+        ~7x faster than the pixel-shuffle transpose chain).
+
+        frames=(lo, hi): reconstruct only that frame slice — the runtime
+        splits the recon head into slices whose dispatches fill the
+        decode ladder's host-wait gaps (the role of the reference's
+        graph/entropy interleave, dmc_htl_proxy.cpp:606-690)."""
         from ..kernels.depth_to_space import packed_frames
-        out = self.recon_head(feature, phase_major=True)  # (F,1,h8,w8,192)
+        out = self.recon_head(feature, phase_major=True, rows=frames)
         x = packed_frames(out[:, 0])
         return x[:, :out_h, :out_w * 3]
 

@@ -185,7 +185,10 @@ class DMCLD(nn.Module):
 
     def _prior_params(self, z_hat, memory, qp):
         temporal = self.temporal_prior_encoder(memory)
-        hyper = self.hyper_decoder(z_hat)
+        # crop the 4-aligned hyper grid to the (possibly odd) y grid
+        # before fusion (reference crop_hyper_params)
+        hyper = self.hyper_decoder(z_hat)[
+            :, :temporal.shape[1], :temporal.shape[2], :]
         fused_in = jnp.concatenate(
             [hyper, temporal * self._q(self.q_feature, qp)], axis=-1)
         return self.y_prior_fusion(fused_in)
@@ -202,8 +205,9 @@ class DMCLD(nn.Module):
         return self.y_spatial_prior(y_hat_0, params)
 
     def analysis(self, x, ctx, qp):
+        from ..core.padding import pad_for_y
         y = self.encoder(x, ctx, self._q(self.q_encoder, qp))
-        z = self.hyper_encoder(y)
+        z = self.hyper_encoder(pad_for_y(y))  # dmc_common.cpp:73-82
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)), -128, 127).astype(jnp.int8)
         return y, z_int8
 

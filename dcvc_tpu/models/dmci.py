@@ -223,18 +223,29 @@ class DMCI(nn.Module):
     # are shared verbatim between the encode and decode ladders.
 
     def analysis(self, x, qp):
-        """x (1, H, W, 3) padded -> (y * q_y_enc, z_int8)."""
+        """x (1, H, W, 3) padded -> (y * q_y_enc, z_int8).
+
+        Frames pad to 16 so the y grid may be odd; the stride-2 hyper
+        path needs 4-alignment, so y is replicate-padded for it alone
+        (reference DMCCommon::pad_for_y, dmc_common.cpp:73-82)."""
+        from ..core.padding import pad_for_y
         y = self.enc(x, self._q(self.q_scale_enc, qp))
-        z = self.hyper_enc(y)
+        z = self.hyper_enc(pad_for_y(y))
         z_int8 = jnp.clip(jnp.round(z.astype(jnp.float32)), -128, 127).astype(jnp.int8)
         y_scaled = y * self._q(self.q_scale_y_enc, qp)
         return y_scaled, z_int8
 
     def prior0(self, z_int8, yh, yw):
-        """z_int8 -> (scales0, means0, common_ctx).  Shared enc/dec."""
+        """z_int8 -> (scales0, means0, common_ctx).  Shared enc/dec.
+
+        The hyper output lives on the 4-aligned grid; it is cropped to
+        the (possibly odd) y grid BEFORE the fusion convs, as the
+        reference does (crop_hyper_params, dmci_proxy.cpp) — fusion has
+        3x3 receptive fields, so crop-after would differ at the bottom/
+        right boundary."""
         z_hat = z_int8.astype(self.dtype)
-        params = self.y_prior_fusion(self.hyper_dec(z_hat))
-        params = params[:, :yh, :yw, :]
+        hyper = self.hyper_dec(z_hat)[:, :yh, :yw, :]
+        params = self.y_prior_fusion(hyper)
         scales, means = common.separate_prior_image(params)
         ctx = self.y_spatial_prior_reduction(params)
         return scales, means, ctx

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.masks import phase_terms_4x, phase_split, phase_merge
+from ..core.masks import (phase_terms_4x, phase_split, phase_merge,
+                          phase_valid, terms_key)
 from ..core.padding import get_padding_size
 from ..entropy.bit_estimator import BitEstimator
 from ..entropy.gaussian import GaussianConditional, scale_to_index
@@ -136,13 +137,19 @@ class DMCICodec:
         if key in self._programs:
             return self._programs[key]
 
-        pad_r, pad_b = get_padding_size(h, w, 64)
+        # frames pad to 16 (reference test_video.py:187), so the latent
+        # grid may be ODD (720p -> 45, 2160p -> 135); the hyper path pads
+        # y to 4-alignment internally (models pad_for_y) and the
+        # candidate domain excludes the even-ing lanes via phase_valid
+        pad_r, pad_b = get_padding_size(h, w, 16)
         ph, pw = h + pad_b, w + pad_r
         yh, yw = ph // 16, pw // 16
-        zh, zw = ph // 64, pw // 64
+        zh, zw = (yh + 3) // 4, (yw + 3) // 4
+        h2e, w2e = (yh + 1) // 2, (yw + 1) // 2
         ch_y = self.cfg.ch_y
         terms = phase_terms_4x(ch_y)
-        n_cand = (yh // 2) * (yw // 2) * ch_y  # per-step candidate count
+        valid = [phase_valid(yh, yw, terms_key(terms[k])) for k in range(4)]
+        n_cand = h2e * w2e * ch_y  # per-step candidate count
         variables = {"params": self.params}
         model = self.model
         skip = self.skip_thres
@@ -158,6 +165,8 @@ class DMCICodec:
             flat = sc.reshape(-1)
             idx = scale_to_index(flat).astype(jnp.uint8)
             cond = flat > skip
+            if not valid[step].all():
+                cond = cond & jnp.asarray(valid[step])
             packed_idx, packed_pos, count = compact_idx(idx, cond)
             return packed_idx, packed_pos, count, cond
 
@@ -224,7 +233,7 @@ class DMCICodec:
                 m_c = phase_split(means, terms[step]).astype(jnp.float32)
                 contrib = y_q_int8.astype(jnp.float32) + m_c
                 y_hat_so_far = y_hat_so_far + phase_merge(
-                    contrib, terms[step], ch_y)
+                    contrib, terms[step], ch_y, yh, yw)
                 if last:
                     return y_hat_so_far
                 scales, means_next = _prior_step(ctx, y_hat_so_far, step + 1)
@@ -239,7 +248,7 @@ class DMCICodec:
             """Decoder-only: sort decoded symbols back to the candidate
             grid (runtime/symbols.py)."""
             dense = expand_from_pos(packed_pos, decoded_padded, n_cand)
-            return dense.reshape(1, yh // 2, yw // 2, ch_y)
+            return dense.reshape(1, h2e, w2e, ch_y)
 
         def _synthesis(y_hat_so_far, qp):
             """SHARED enc+dec reconstruction."""
@@ -281,7 +290,7 @@ class DMCICodec:
         """
         return self.compress_finish(self.compress_async(x, qp, h, w))
 
-    def compress_many(self, images, qps, depth=2):
+    def compress_many(self, images, qps, depth=4):
         """Pipelined encode of independent images: image k+1's device
         chain dispatches while image k's symbol fetches + host rANS
         trail behind (the cross-frame analog of the reference's
@@ -368,7 +377,7 @@ class DMCICodec:
             pass
         return out
 
-    def decompress_many(self, streams, qps, h, w, ec_parts, depth=4):
+    def decompress_many(self, streams, qps, h, w, ec_parts, depth=10):
         """Pipelined decode of independent images.
 
         Each image's 4-step ladder is serial (host rANS feeds the device
@@ -377,7 +386,13 @@ class DMCICodec:
         i+1.. — a round-robin over per-image decode coroutines, each
         holding its own rANS decoder.  Cross-frame generalization of the
         reference's interleaved {CPU entropy <-> GPU graph} decode
-        (dmci_proxy.cpp:423-602)."""
+        (dmci_proxy.cpp:423-602).
+
+        Depth sizing: a frame's step-k fetch is issued one full
+        scheduler round before its wait, so the link round-trip hides
+        iff (depth-1) x per-turn-work >= link latency; ~10 covers a
+        ~30 ms tunnel at ~4 ms turns (a directly-attached chip needs
+        far less; extra depth only costs idle coroutines)."""
         jobs = list(zip(streams, qps, ec_parts))
         outs = [{} for _ in jobs]
         live, slots, next_i = [], list(range(depth)), 0
@@ -428,6 +443,7 @@ class DMCICodec:
             idx_np = self._fetcher.finish(p["slice"], handle, c, np.uint8)
             if c > 0:
                 decoder.decode_y(idx_np)
+                yield  # rANS lanes chew while other frames take turns
                 decoded = decoder.get_decoded()
                 pad = np.zeros(_round_bucket(c, n_cand), np.int8)
                 pad[:c] = decoded

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.masks import phase_terms_4x, phase_split, phase_merge
+from ..core.masks import (phase_terms_4x, phase_split, phase_merge,
+                          phase_valid, terms_key)
 from ..core.padding import get_padding_size
 from ..entropy.gaussian import scale_to_index
 from ..legacy.rt_intra import DMCIRT, DMCIRTConfig
@@ -39,13 +40,17 @@ class RTIntraCodec(DMCICodec):
         if key in self._programs:
             return self._programs[key]
 
-        pad_r, pad_b = get_padding_size(h, w, 64)
+        # frames pad to 16 (RT reference test_video.py:150), so the
+        # latent grid may be ODD; see image_codec._get_programs
+        pad_r, pad_b = get_padding_size(h, w, 16)
         ph, pw = h + pad_b, w + pad_r
         yh, yw = ph // 16, pw // 16
-        zh, zw = ph // 64, pw // 64
+        zh, zw = (yh + 3) // 4, (yw + 3) // 4
+        h2e, w2e = (yh + 1) // 2, (yw + 1) // 2
         ch_y = self.cfg.ch_y
         terms = phase_terms_4x(ch_y)
-        n_cand = (yh // 2) * (yw // 2) * ch_y
+        valid = [phase_valid(yh, yw, terms_key(terms[k])) for k in range(4)]
+        n_cand = h2e * w2e * ch_y
         variables = {"params": self.params}
         model = self.model
         skip = self.skip_thres
@@ -59,6 +64,8 @@ class RTIntraCodec(DMCICodec):
             flat = sc.reshape(-1)
             idx = scale_to_index(flat).astype(jnp.uint8)
             cond = flat > skip
+            if not valid[step].all():
+                cond = cond & jnp.asarray(valid[step])
             packed_idx, packed_pos, count = compact_idx(idx, cond)
             return packed_idx, packed_pos, count, cond
 
@@ -103,7 +110,7 @@ class RTIntraCodec(DMCICodec):
                 m_c = phase_split(means, terms[step]).astype(jnp.float32)
                 contrib = y_q_int8.astype(jnp.float32) + m_c
                 y_hat_so_far = y_hat_so_far + phase_merge(
-                    contrib, terms[step], ch_y)
+                    contrib, terms[step], ch_y, yh, yw)
                 if last:
                     return y_hat_so_far
                 scales, means_next = _prior_step(ctx, y_hat_so_far, step + 1)
@@ -116,7 +123,7 @@ class RTIntraCodec(DMCICodec):
         @jax.jit
         def expand(decoded_padded, packed_pos):
             dense = expand_from_pos(packed_pos, decoded_padded, n_cand)
-            return dense.reshape(1, yh // 2, yw // 2, ch_y)
+            return dense.reshape(1, h2e, w2e, ch_y)
 
         @jax.jit
         def synthesis(y_hat_so_far, q_dec, qp):

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.masks import (phase_terms_2x, phase_terms_4x, phase_split,
-                          phase_merge)
+                          phase_merge, phase_valid, terms_key)
 from ..core.padding import get_padding_size
 from ..core.shuffle import pixel_unshuffle
 from ..entropy.bit_estimator import BitEstimator
@@ -111,18 +111,23 @@ class VideoCodecBase:
             return self._programs[key]
 
         cfg = self.cfg
-        pad_r, pad_b = get_padding_size(h, w, 64)
+        # frames pad to 16 (reference test_video.py:187), so the latent
+        # grid may be ODD; see image_codec._get_programs
+        pad_r, pad_b = get_padding_size(h, w, 16)
         ph, pw = h + pad_b, w + pad_r
         yh, yw = ph // 16, pw // 16
-        zh, zw = ph // 64, pw // 64
+        zh, zw = (yh + 3) // 4, (yw + 3) // 4
+        h2e, w2e = (yh + 1) // 2, (yw + 1) // 2
         ch_y = cfg.ch_y
         steps = self.steps
         if steps == 4:
             terms = phase_terms_4x(ch_y)
-            n_cand = (yh // 2) * (yw // 2) * ch_y
+            n_cand = h2e * w2e * ch_y
         else:
             terms = phase_terms_2x(ch_y)
-            n_cand = (yh // 2) * (yw // 2) * 2 * ch_y
+            n_cand = h2e * w2e * 2 * ch_y
+        valid = [phase_valid(yh, yw, terms_key(terms[k]))
+                 for k in range(steps)]
         model = self.model
         variables = {"params": self.params}
         skip = self.skip_thres
@@ -157,6 +162,8 @@ class VideoCodecBase:
             flat = sc.reshape(-1)
             idx = scale_to_index(flat).astype(jnp.uint8)
             cond = flat > skip
+            if not valid[step].all():
+                cond = cond & jnp.asarray(valid[step])
             return idx, cond
 
         def _state_update(feature, reset):
@@ -248,8 +255,8 @@ class VideoCodecBase:
 
         def _cand_shape():
             if steps == 4:
-                return (1, yh // 2, yw // 2, ch_y)
-            return (1, yh // 2, yw // 2, 2 * ch_y)
+                return (1, h2e, w2e, ch_y)
+            return (1, h2e, w2e, 2 * ch_y)
 
         def _step_single(step):
             """SHARED enc+dec (means-only): merge + next means."""
@@ -260,7 +267,7 @@ class VideoCodecBase:
                 m_c = phase_split(means, terms[step]).astype(jnp.float32)
                 contrib = y_q_int8.astype(jnp.float32) + m_c
                 y_hat_so_far = y_hat_so_far + phase_merge(
-                    contrib, terms[step], ch_y)
+                    contrib, terms[step], ch_y, yh, yw)
                 if last:
                     return y_hat_so_far
                 means_next = _step_prior_means(step, spctx, y_hat_so_far)
@@ -277,7 +284,7 @@ class VideoCodecBase:
                 m_c = phase_split(means, terms[step]).astype(jnp.float32)
                 contrib = y_q_int8.astype(jnp.float32) + m_c
                 y_hat_so_far = y_hat_so_far + phase_merge(
-                    contrib, terms[step], ch_y)
+                    contrib, terms[step], ch_y, yh, yw)
                 if last:
                     return y_hat_so_far
                 scales, means_next = _prior_step(spctx, y_hat_so_far,
@@ -321,6 +328,29 @@ class VideoCodecBase:
             output frames."""
             return _apply(type(model).recon_frames, feature, qp, h, w)
 
+        # Frame-sliced recon (chunk models): the 8-frame recon head splits
+        # into pair slices so the PREVIOUS chunk's reconstruction can be
+        # dispatched piecewise into each of this chunk's blocking
+        # host-entropy waits — the decode-side graph/entropy interleave of
+        # the reference (dmc_htl_proxy.cpp:606-690), generalized across
+        # chunks.  ALL x_hat paths go through the same slice executables
+        # so serial/pipelined decode and encoder-side recon stay
+        # bit-identical.
+        # single-pass variants have ONE host wait: the whole-recon
+        # program fills it with better MXU batching than 4 slices would
+        if (self.frame_delay == 8 and hasattr(cfg, "is_hts")
+                and not self.single_pass):
+            def _recon_slice(lo, hi):
+                @jax.jit
+                def fn(feature, qp):
+                    return _apply(type(model).recon_frames, feature, qp,
+                                  h, w, (lo, hi))
+                return fn
+            recon_slices = [_recon_slice(2 * s, 2 * s + 2) for s in range(4)]
+            recon_cat = jax.jit(lambda *xs: jnp.concatenate(xs, 0))
+        else:
+            recon_slices, recon_cat = [recon], None
+
         @functools.lru_cache(maxsize=64)
         def slice_prog(bucket):
             return jax.jit(lambda b: jax.lax.slice(b, (0,), (bucket,)))
@@ -334,6 +364,8 @@ class VideoCodecBase:
             "step": [step_fn(k) for k in range(steps)],
             "final": {r: _final(r) for r in (False, True)},
             "recon": recon,
+            "recon_slices": recon_slices,
+            "recon_cat": recon_cat,
             "slice": slice_prog,
             "dims": (ph, pw, yh, yw, zh, zw, n_cand),
         }
@@ -443,7 +475,8 @@ class VideoCodecBase:
         feature, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
         self.ref_feature = new_ref
         self.memory = None if reset else mem
-        x_hat = p["recon"](feature, qp_arr) if recon else None
+        x_hat = (self._recon_job(p, feature, qp_arr)[1]()
+                 if recon else None)
 
         return {"handles": handles, "counts": counts, "z_int8": z_int8,
                 "qp": int(qp), "x_hat": x_hat, "p": p}
@@ -479,11 +512,34 @@ class VideoCodecBase:
 
     # ------------------------------------------------------------ decode
 
+    def _recon_job(self, p, feature, qp_arr):
+        """Incrementally-dispatchable reconstruction of one chunk.
+
+        Returns (step, finish): step(n) dispatches up to n more frame
+        slices (cheap, non-blocking); finish() dispatches the rest and
+        returns the full x_hat.  Every caller goes through the same
+        slice executables, keeping all x_hat paths bit-identical."""
+        progs = p["recon_slices"]
+        parts = []
+
+        def step(n=1):
+            for _ in range(n):
+                if len(parts) < len(progs):
+                    parts.append(progs[len(parts)](feature, qp_arr))
+
+        def finish():
+            step(len(progs) - len(parts))
+            if len(progs) == 1:
+                return parts[0]
+            return p["recon_cat"](*parts)
+        return step, finish
+
     def decompress(self, bit_stream, qp, h, w, ec_part,
                    reset_feature_memory=False):
         feature, p, qp_arr = self._decompress_core(
             bit_stream, qp, h, w, ec_part, reset_feature_memory)
-        return {"x_hat": p["recon"](feature, qp_arr)}
+        _, finish = self._recon_job(p, feature, qp_arr)
+        return {"x_hat": finish()}
 
     def decompress_sequence(self, streams, qps, h, w, ec_parts,
                             resets=None):
@@ -491,26 +547,27 @@ class VideoCodecBase:
 
         The decode chain is inherently serial per chunk (the host rANS
         feeds the device ladder), but the frame RECONSTRUCTION of chunk
-        k-1 is independent of chunk k's entropy decode — so it is
-        dispatched to fill the device while the host waits for chunk k's
-        CDF-index fetch (the decode analog of the reference's
-        entropy/graph overlap, dmc_hts_proxy.cpp:587-709).
+        k-1 is independent of chunk k's entropy decode — so its frame
+        SLICES are dispatched into each of chunk k's blocking
+        host-entropy waits, filling the device during every rung of the
+        ladder (the decode analog of the reference's entropy/graph
+        overlap, dmc_hts_proxy.cpp:587-709; dmc_htl_proxy.cpp:606-690).
 
         Returns a list of x_hat device arrays (one per chunk)."""
         resets = resets or [False] * len(streams)
         outs = []
-        prev = None
+        prev_step, prev_finish = None, None
 
         for bs, qp, ec, rs in zip(streams, qps, ec_parts, resets):
-            def fill():
-                if prev is not None:
-                    f0, p0, q0 = prev
-                    outs.append(p0["recon"](f0, q0))
+            def fill(n, _s=prev_step):
+                if _s is not None:
+                    _s(n)
             feature, p, qp_arr = self._decompress_core(
                 bs, qp, h, w, ec, rs, pre_wait=fill)
-            prev = (feature, p, qp_arr)
-        f0, p0, q0 = prev
-        outs.append(p0["recon"](f0, q0))
+            if prev_finish is not None:
+                outs.append(prev_finish())
+            prev_step, prev_finish = self._recon_job(p, feature, qp_arr)
+        outs.append(prev_finish())
         return outs
 
     def _decompress_core(self, bit_stream, qp, h, w, ec_part,
@@ -537,6 +594,7 @@ class VideoCodecBase:
         mem, ctx = p["adaptor"][has_memory](memory_arg, self.ref_feature)
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
 
+        n_slices = len(p["recon_slices"])
         if self.single_pass:
             (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
              cond_all) = p["prior"](z_int8, mem, qp_arr)
@@ -544,7 +602,7 @@ class VideoCodecBase:
             handle = self._fetcher.start(p["slice"], packed_idx,
                                          ("dec", h, w))
             if pre_wait is not None:
-                pre_wait()
+                pre_wait(n_slices)   # single wait: fill with everything
             c = int(count)
             idx_np = self._fetcher.finish(p["slice"], handle, c, np.uint8)
             if c > 0:
@@ -568,9 +626,12 @@ class VideoCodecBase:
             start_copies(count)
             handle = self._fetcher.start(p["slice"], packed_idx,
                                          ("dec", h, w, 0))
-            if pre_wait is not None:
-                pre_wait()
+            # spread the previous chunk's recon slices across the
+            # ladder's host waits (one slice per rung)
+            per_wait = max(1, -(-n_slices // self.steps))
             for k in range(self.steps):
+                if pre_wait is not None:
+                    pre_wait(per_wait)
                 c = int(count)
                 idx_np = self._fetcher.finish(p["slice"], handle, c,
                                               np.uint8)

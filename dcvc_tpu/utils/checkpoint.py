@@ -20,7 +20,8 @@ def save_params(path, params, cfg=None, extra=None):
         jax.tree.map(np.asarray, params))
     header = {"format": "dcvc_tpu.params.v1"}
     if cfg is not None:
-        header["config"] = dataclasses.asdict(cfg)
+        header["config"] = (cfg if isinstance(cfg, dict)
+                            else dataclasses.asdict(cfg))
     if extra:
         header.update(extra)
     header_bytes = json.dumps(header).encode()
@@ -50,11 +51,17 @@ def save_status(save_dir, params, opt_state, epoch, cfg=None):
     """Per-epoch resumable status; prunes older status files."""
     os.makedirs(save_dir, exist_ok=True)
     curr = os.path.join(save_dir, f"status_epo{epoch}.bin")
-    payload = flax.serialization.msgpack_serialize({
+    status = {
         "epoch": np.asarray(epoch),
         "params": jax.tree.map(np.asarray, params),
         "opt_state": flax.serialization.to_state_dict(opt_state),
-    })
+    }
+    if cfg is not None:
+        # carried so a cut-short run still yields a consumable ckpt
+        # (scripts/status_to_ckpt.py)
+        status["config"] = (cfg if isinstance(cfg, dict)
+                            else dataclasses.asdict(cfg))
+    payload = flax.serialization.msgpack_serialize(status)
     with open(curr, "wb") as f:
         f.write(payload)
     for fn in os.listdir(save_dir):

@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--q_scale", type=float, default=1.0)
     p.add_argument("--rate_num", type=int, default=1)
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--model_path", default=None,
+                   help="trained checkpoint (dmci); its stored config "
+                        "overrides --tiny")
     p.add_argument("--stream_path", default="out_bin_img")
     p.add_argument("--output_path", default="image_result.json")
     p.add_argument("--verbose", type=int, default=0)
@@ -53,8 +56,17 @@ def build_codec(args):
     rng = jax.random.PRNGKey(0)
     m = args.i_frame_model
     if m == "dmci":
-        from dcvc_tpu.models.dmci import TINY_CONFIG
+        from dcvc_tpu.models.dmci import TINY_CONFIG, DMCIConfig
         from dcvc_tpu.runtime.image_codec import DMCICodec
+        if args.model_path:
+            from dcvc_tpu.utils.checkpoint import load_params
+            params, hdr = load_params(args.model_path)
+            cfg = DMCIConfig(**hdr["config"]) if "config" in hdr \
+                else DMCIConfig()
+            # trained gates run f32: the decision boundary is exact and
+            # the checkpoint was trained in f32
+            return DMCICodec(params, cfg=cfg, skip_thres=0.0,
+                             dtype=jnp.float32)
         kw = {"cfg": TINY_CONFIG} if args.tiny else {}
         dt = jnp.float32 if args.tiny else jnp.bfloat16
         return DMCICodec.init_random(rng, dtype=dt, skip_thres=0.15, **kw)
