@@ -44,12 +44,50 @@ def _psnr_rgb(x_hat, rgb_org):
     return calc_psnr(rgb_org.transpose(1, 2, 0).astype(np.float64), rec)
 
 
+def _with_params(codec, path):
+    """Rebuild a codec around params loaded from a native checkpoint
+    (CDF banks and program caches are derived from params in __init__,
+    so a fresh instance is required, matching the reference's proxy
+    invalidation on weight reload, common_model.py:56-62)."""
+    import jax
+    import jax.numpy as jnp
+    from ..runtime.compressai_codec import _CompressAIBase
+    from ..utils.checkpoint import load_params
+
+    tree, hdr = load_params(path)
+    # the checkpoint's embedded config wins (a full-size ckpt must load
+    # even if the runner was constructed with --tiny defaults)
+    cfg = codec.cfg
+    if "config" in hdr:
+        cfg = type(cfg)(**hdr["config"])
+    if isinstance(codec, _CompressAIBase):
+        model = (type(codec.model)(cfg=cfg, dtype=codec.model.dtype)
+                 if cfg is not codec.cfg else codec.model)
+        params = jax.tree.map(jnp.asarray, tree["params"])
+        eb = {k: np.asarray(v) for k, v in tree["eb_params"].items()}
+        return type(codec)(model, params, eb)
+    params = jax.tree.map(jnp.asarray, tree)
+    if hasattr(type(codec), "MODEL_CLS"):
+        # DMCICodec-style (params-first ctor, model built from cfg)
+        return type(codec)(params, cfg=cfg, dtype=codec.dtype)
+    from ..runtime.video_codec import VideoCodecBase
+    model = (type(codec.model)(cfg=cfg, dtype=codec.model.dtype)
+             if cfg is not codec.cfg else codec.model)
+    if isinstance(codec, VideoCodecBase):
+        # preserve lane caps (DCVC-RT pins max_ec=2 via its factory)
+        return type(codec)(model, params,
+                           skip_thres=codec.skip_thres,
+                           max_ec=codec.max_ec)
+    return type(codec)(model, params)
+
+
 class FamilyRunner:
     """Per-model adapter: builds codecs, encodes/decodes one frame
     through the model's own container format."""
 
     def __init__(self, model, stream_dir, rate_num=1, tiny=False,
-                 seed=0, verify_bitexact=True):
+                 seed=0, verify_bitexact=True,
+                 model_path_i=None, model_path_p=None):
         import jax
         self.model = model
         self.stream_dir = stream_dir
@@ -58,6 +96,12 @@ class FamilyRunner:
         os.makedirs(stream_dir, exist_ok=True)
         rng = jax.random.PRNGKey(seed)
         self._build(rng, tiny)
+        # trained / imported weights (native format: ckpt.bin from the
+        # trainers or scripts/import_checkpoint.py)
+        if model_path_i:
+            self.i_codec = _with_params(self.i_codec, model_path_i)
+        if model_path_p:
+            self.p_codec = _with_params(self.p_codec, model_path_p)
 
     # ------------------------------------------------------------ build
 

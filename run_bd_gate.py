@@ -136,7 +136,9 @@ def main():
                    for a, b in zip(by_bpp, by_bpp[1:]))
 
     if trained:
-        note = ("trained-checkpoint gate: tiny DMCI+HTS trained on the "
+        what = ("DMCI, every frame intra" if args.force_intra
+                else "DMCI+HTS")
+        note = (f"trained-checkpoint gate ({what}) trained on the "
                 "synthetic corpus (scripts/make_synth_data.py), BD-rate "
                 "vs the VTM-17.0 anchor on the synthetic stand-in "
                 "sequence; content differs from real UVG so the number "
@@ -160,6 +162,7 @@ def main():
     artifact = {
         "note": note,
         "trained_weights": trained,
+        "force_intra": args.force_intra,
         "rd_monotone": monotone,
         "anchor": ANCHOR,
         "extrapolated": args.allow_extrapolation,

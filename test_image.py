@@ -42,8 +42,9 @@ def parse_args():
     p.add_argument("--rate_num", type=int, default=1)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--model_path", default=None,
-                   help="trained checkpoint (dmci); its stored config "
-                        "overrides --tiny")
+                   help="trained or imported native checkpoint "
+                        "(ckpt.bin / scripts/import_checkpoint.py "
+                        "output); its stored config overrides --tiny")
     p.add_argument("--stream_path", default="out_bin_img")
     p.add_argument("--output_path", default="image_result.json")
     p.add_argument("--verbose", type=int, default=0)
@@ -74,21 +75,30 @@ def build_codec(args):
         from dcvc_tpu.legacy.evc import TINY_EVC_CONFIG
         from dcvc_tpu.runtime.evc_codec import EVCCodec
         kw = {"cfg": TINY_EVC_CONFIG} if args.tiny else {}
-        return EVCCodec.init_random(rng, init_scale=0.4, **kw)
-    if m == "intra_noar":
+        codec = EVCCodec.init_random(rng, init_scale=0.4,
+                                     dtype=jnp.float32, **kw)
+    elif m == "intra_noar":
         from dcvc_tpu.legacy.hem_intra import TINY_INTRA_NOAR_CONFIG
         from dcvc_tpu.runtime.evc_codec import IntraNoARCodec
         kw = {"cfg": TINY_INTRA_NOAR_CONFIG} if args.tiny else {}
-        return IntraNoARCodec.init_random(rng, init_scale=0.4, **kw)
-    if m == "cheng2020":
+        codec = IntraNoARCodec.init_random(rng, init_scale=0.4,
+                                           dtype=jnp.float32, **kw)
+    elif m == "cheng2020":
         from dcvc_tpu.legacy.compressai_zoo import TINY_CHENG2020
         from dcvc_tpu.runtime.compressai_codec import Cheng2020Codec
         kw = {"cfg": TINY_CHENG2020} if args.tiny else {}
-        return Cheng2020Codec.init_random(rng, **kw)
-    from dcvc_tpu.legacy.compressai_zoo import TINY_HYPERPRIOR
-    from dcvc_tpu.runtime.compressai_codec import HyperpriorCodec
-    kw = {"cfg": TINY_HYPERPRIOR} if args.tiny else {}
-    return HyperpriorCodec.init_random(rng, **kw)
+        codec = Cheng2020Codec.init_random(rng, **kw)
+    else:
+        from dcvc_tpu.legacy.compressai_zoo import TINY_HYPERPRIOR
+        from dcvc_tpu.runtime.compressai_codec import HyperpriorCodec
+        kw = {"cfg": TINY_HYPERPRIOR} if args.tiny else {}
+        codec = HyperpriorCodec.init_random(rng, **kw)
+    if args.model_path:
+        # trained / imported weights (ckpt.bin from the trainers or
+        # scripts/import_checkpoint.py); stored config overrides --tiny
+        from dcvc_tpu.eval.family import _with_params
+        codec = _with_params(codec, args.model_path)
+    return codec
 
 
 def code_one(codec, args, rgb01, h, w, bin_path):

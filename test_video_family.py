@@ -47,6 +47,11 @@ def parse_args():
                         "(fm/dcvc/tcm/hem; reference test_helper.py:134, "
                         "DCVC/test_video.py:156-175)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_path_i", default=None,
+                   help="native I-codec checkpoint (trained ckpt.bin or "
+                        "scripts/import_checkpoint.py output)")
+    p.add_argument("--model_path_p", default=None,
+                   help="native P-codec checkpoint")
     return p.parse_args()
 
 
@@ -88,7 +93,9 @@ def main():
     root = cfg.get("root_path", "")
     runner = FamilyRunner(args.model, args.stream_path,
                           rate_num=args.rate_num, tiny=args.tiny,
-                          seed=args.seed)
+                          seed=args.seed,
+                          model_path_i=args.model_path_i,
+                          model_path_p=args.model_path_p)
 
     results = {}
     for cls_name, cls in cfg["test_classes"].items():

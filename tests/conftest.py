@@ -17,3 +17,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: tiny-codec program compiles dominate the
+# suite's wall time; repeated runs (CI, local iteration) reuse them
+import tempfile  # noqa: E402
+
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        tempfile.gettempdir(), f"dcvc_tpu_jax_cache_test_{os.getuid()}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
