@@ -36,7 +36,7 @@ def sync1(arr):
     return np.asarray(arr.ravel()[0:1])
 
 
-def device_decode_ms_image(codec, jnp, h, w, qp=32, iters=3):
+def device_decode_ms_image(codec, jnp, h, w, qp=None, iters=3):
     """Pure device decode-chain time per frame (prior0 + 4x expand/step
     + synthesis), host entropy replaced by zero symbol buffers: the
     number a locally-attached host converges to once link latency is
@@ -46,7 +46,7 @@ def device_decode_ms_image(codec, jnp, h, w, qp=32, iters=3):
     ph, pw, yh, yw, zh, zw, n_cand = p["dims"]
     z = jnp.zeros((1, zh, zw, codec.cfg.ch_z), jnp.int8)
     pad = jnp.zeros((min(1 << 16, n_cand),), jnp.int8)
-    qp_arr = jnp.int32(qp)
+    qp_arr = jnp.int32(min(32, codec.cfg.qp_num - 1) if qp is None else qp)
 
     def one():
         means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z)
@@ -67,7 +67,7 @@ def device_decode_ms_image(codec, jnp, h, w, qp=32, iters=3):
     return (time.perf_counter() - t0) * 1000 / iters
 
 
-def device_decode_ms_video(codec, jnp, h, w, qp=32, iters=3):
+def device_decode_ms_video(codec, jnp, h, w, qp=None, iters=3):
     """Pure device decode-chain time per chunk (adaptor + prior + steps
     + final + recon), zero symbol buffers."""
     import time
@@ -75,7 +75,7 @@ def device_decode_ms_video(codec, jnp, h, w, qp=32, iters=3):
     ph, pw, yh, yw, zh, zw, n_cand = p["dims"]
     ch_y = codec.cfg.ch_y
     z = jnp.zeros((1, zh, zw, codec.cfg.ch_z), jnp.int8)
-    qp_arr = jnp.int32(qp)
+    qp_arr = jnp.int32(min(32, codec.cfg.qp_num - 1) if qp is None else qp)
     steps = codec.steps
     cap = steps * n_cand if codec.single_pass else n_cand
     pad = jnp.zeros((min(1 << 16, cap),), jnp.int8)
@@ -145,7 +145,7 @@ def bench_dmci(jax, jnp, h, w, res="1080p", model_path=None):
     n = 8
     frames = [jnp.asarray(f[None]) for f in make_frames(h, w, n, rng)]
     sync1(jax.device_put(frames[0]))  # enter real-sync mode
-    qp = 32
+    qp = min(32, codec.cfg.qp_num - 1)   # trained small cfgs have 16 QPs
 
     warmup, iters = 1, 3
     enc_times, dec_times = [], []
@@ -218,7 +218,7 @@ def bench_ht(jax, jnp, h, w, variant, res="1080p", model_path=None):
         for ci in range(n_chunks)]
     intra = jax.device_put(chunks[0][..., :3])
     sync1(intra)
-    qp = 32
+    qp = min(32, codec.cfg.qp_num - 1)   # trained small cfgs have 16 QPs
     qps = [qp] * n_chunks
     n_frames = n_chunks * fd
 
@@ -282,6 +282,10 @@ RESOLUTIONS = {
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the ambient axon sitecustomize pins jax to the TPU tunnel and
+        # ignores the env var; jax.config wins (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/dcvc_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
