@@ -506,18 +506,28 @@ class FamilyRunner:
         assert self.model in ("fm", "dcvc", "tcm", "hem"), \
             f"fast mode not implemented for {self.model}"
         h, w = frames_rgb[0].shape[1:]
-        assert h % 64 == 0 and w % 64 == 0, "fast mode expects 64-multiples"
+        # non-64-multiple resolutions: replicate-pad bottom/right like the
+        # reference fast path (DCVC/test_video.py:156-175 pads with
+        # F.pad(..., mode="replicate") and crops the recon back), bpp stays
+        # over the ORIGINAL pixel count
+        ph = (64 - h % 64) % 64
+        pw = (64 - w % 64) % 64
+        hp, wp = h + ph, w + pw
         q = int(np.round(np.linspace(12, 51, max(self.rate_num, 2))
                          [min(rate_idx, self.rate_num - 1)]))
-        frames = [np.ascontiguousarray(
-            f.transpose(1, 2, 0).astype(np.float32) / 255.0)[None]
+        frames = [np.pad(np.ascontiguousarray(
+            f.transpose(1, 2, 0).astype(np.float32) / 255.0),
+            ((0, ph), (0, pw), (0, 0)), mode="edge")[None]
             for f in frames_rgb]
         model = self.p_codec.model
         variables = {"params": self.p_codec.params}
 
         if self.model == "fm":
+            # fa_idx selects among FeatureAdaptor submodules (a Python
+            # indexing decision, reference video_model.py fa_idx) — it must
+            # be static; only len(INDEX_MAP_FM) distinct traces result
             fwd = jax.jit(lambda x, dpb, qi, fa: model.apply(
-                variables, x, dpb, qi, fa, None))
+                variables, x, dpb, qi, fa, None), static_argnums=(3,))
         elif self.model == "tcm":
             fwd = jax.jit(lambda x, ref, feat: model.apply(
                 variables, x, ref, feat))
@@ -539,10 +549,10 @@ class FamilyRunner:
             if is_i:
                 if self.model in ("fm", "hem"):
                     res_i = self.i_codec.compress(
-                        x, float(self.i_q_scales[q]), h, w)
+                        x, float(self.i_q_scales[q]), hp, wp)
                     bits = len(res_i["bit_stream"]) * 8
                 else:
-                    res_i = self.i_codec.compress(x, h, w)
+                    res_i = self.i_codec.compress(x, hp, wp)
                     bits = (len(res_i["y_string"])
                             + len(res_i["z_string"])) * 8
                 x_hat = res_i["x_hat"]
@@ -580,7 +590,8 @@ class FamilyRunner:
                     ref = x_hat
                     bpp = float(res["bpp"][0])
             result["frame_bpp"].append(bpp)
-            result["frame_psnr"].append(_psnr_rgb(x_hat, frames_rgb[i]))
+            x_eval = np.asarray(x_hat)[:, :h, :w]
+            result["frame_psnr"].append(_psnr_rgb(x_eval, frames_rgb[i]))
         elapsed = time.time() - t0
         result["avg_bpp"] = float(np.mean(result["frame_bpp"]))
         result["avg_psnr"] = float(np.mean(result["frame_psnr"]))

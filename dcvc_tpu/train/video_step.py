@@ -108,4 +108,8 @@ def make_video_train_step(model, tx, lambdas, n_chunks, cascaded=True,
         return TrainState(params=new_params, opt_state=new_opt_state,
                           step=state.step + 1), metrics
 
+    # expose the forward loss so callers (e.g. the multichip dryrun) can
+    # cross-check a sharded train step against a cheap forward-only jit
+    # instead of paying a second grad+optimizer compile
+    train_step.loss_fn = loss_fn
     return train_step
