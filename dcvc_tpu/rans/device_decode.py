@@ -77,6 +77,17 @@ def split_streams(stream, n_lanes, pad_to=None):
     return lanes, lengths
 
 
+def bucketed_lanes(stream, n_lanes, min_len=4096):
+    """split_streams + power-of-two length bucketing so repeated decodes
+    of similarly-sized streams reuse one compiled program."""
+    lanes, _ = split_streams(stream, n_lanes)
+    L = lanes.shape[1]
+    Lb = max(min_len, 1 << (L - 1).bit_length())
+    if Lb > L:
+        lanes = np.pad(lanes, ((0, 0), (0, Lb - L)))
+    return lanes
+
+
 def _bank_arrays(cdf, cdf_lengths):
     """Pack a CDF bank for device use: (cdf int32 (N, per), lengths
     int32 (N,), max_value int32 (N,))."""

@@ -72,7 +72,7 @@ class DMCICodec:
     MAX_EC = 8          # DCVC-RT's container caps this at 2 (1-bit SPS flag)
 
     def __init__(self, params, cfg=None, skip_thres=0.0, dtype=jnp.bfloat16,
-                 spatial_mesh=None):
+                 spatial_mesh=None, device_ec=None):
         self.cfg = cfg or self.CONFIG_CLS()
         self.model = self.MODEL_CLS(cfg=self.cfg, dtype=dtype)
         self.params = params
@@ -101,7 +101,17 @@ class DMCICodec:
             coder.set_cdf(z_cdf, z_len, 0)
             coder.set_cdf(y_cdf, y_len, 1)
 
+        # device entropy decode (rans/device_decode.py): the 4-rung
+        # ladder's rANS runs INSIDE jit, making decode a pure async
+        # dispatch chain (no blocking host round-trips).  Auto-on for
+        # accelerator backends; symbols are bit-identical to the host
+        # coder so x_hat is unchanged (tests/test_device_ec_codec.py).
+        if device_ec is None:
+            device_ec = jax.default_backend() != "cpu"
+        self.device_ec = bool(device_ec)
+
         self._programs = {}
+        self._dec_programs = {}
         self._fetcher = CodedFetcher()
         self._decoder_pool = [self.decoder]
 
@@ -414,10 +424,69 @@ class DMCICodec:
                     slots.append(slot)
         return outs
 
+    def _get_dec_programs(self, h, w, n_lanes, lane_len):
+        """Device-entropy-decode programs (see video_codec.py)."""
+        key = (h, w, n_lanes, lane_len)
+        if key in self._dec_programs:
+            return self._dec_programs[key]
+        from ..rans.device_decode import init_state, make_decode_fn
+
+        p = self._get_programs(h, w)
+        _, _, _, _, zh, zw, n_cand = p["dims"]
+        ch_z = self.cfg.ch_z
+        n_z = zh * zw * ch_z
+        (z_cdf, z_len), (y_cdf, y_len) = self._cdf_banks
+        dec_z_core = make_decode_fn(z_cdf, z_len, n_lanes, n_z)
+        dec_y_core = make_decode_fn(y_cdf, y_len, n_lanes, n_cand)
+        zidx = jnp.asarray(np.arange(n_z, dtype=np.int32) % ch_z)
+
+        @jax.jit
+        def dec_z(lanes, qp):
+            state = init_state(lanes)
+            state, out = dec_z_core(state, zidx + qp * ch_z, n_z)
+            return state, out.reshape(1, zh, zw, ch_z)
+
+        progs = {"z": dec_z, "y": jax.jit(dec_y_core)}
+        self._dec_programs[key] = progs
+        return progs
+
+    def _decompress_gen_device(self, bit_stream, qp, h, w, ec_part, out):
+        """Device-entropy decode: z decode, prior, 4 rungs of in-jit
+        rANS + merge, synthesis — all dispatched asynchronously, no
+        blocking host round-trips (the TPU-native replacement for the
+        reference's entropy/graph overlap, dmci_proxy.cpp:423-602)."""
+        from ..rans.device_decode import bucketed_lanes
+        assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
+        p = self._get_programs(h, w)
+        _, _, yh, yw, _, _, n_cand = p["dims"]
+        ch_y = self.cfg.ch_y
+        qp_arr = jnp.int32(qp)
+        lanes = bucketed_lanes(bit_stream, ec_part)
+        dp = self._get_dec_programs(h, w, ec_part, lanes.shape[1])
+
+        state, z_int8 = dp["z"](jnp.asarray(lanes), qp_arr)
+        means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
+        y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+        for k in range(4):
+            state, decoded = dp["y"](state, packed_idx, count)
+            y_q = p["expand"](decoded, packed_pos)
+            step_out = p["step"][k](y_q, means, y_hat, ctx)
+            if k < 3:
+                y_hat, means, packed_idx, packed_pos, count, cond = step_out
+            else:
+                y_hat = step_out
+            yield  # everything above is async; let other frames dispatch
+
+        out["x_hat"] = p["synthesis"](y_hat, qp_arr)
+
     def _decompress_gen(self, decoder, bit_stream, qp, h, w, ec_part, out):
         """Decode coroutine: yields at the points where the next action
         would block on device->host data, so a scheduler can interleave
         other frames' device dispatches in the gaps."""
+        if self.device_ec:
+            yield from self._decompress_gen_device(bit_stream, qp, h, w,
+                                                   ec_part, out)
+            return
         assert 0 <= int(qp) < self.cfg.qp_num, f"qp {qp} out of range"
         p = self._get_programs(h, w)
         ph, pw, yh, yw, zh, zw, n_cand = p["dims"]

@@ -49,7 +49,8 @@ from .symbols import (compact_idx, compact_vals, expand_from_pos,
 class VideoCodecBase:
     """Shared runtime for DMCHT (hts/htl) and DMCLD."""
 
-    def __init__(self, model, params, skip_thres=0.0, max_ec=8):
+    def __init__(self, model, params, skip_thres=0.0, max_ec=8,
+                 device_ec=None):
         self.model = model
         self.cfg = model.cfg
         self.params = params
@@ -81,8 +82,22 @@ class VideoCodecBase:
         for coder in (self.encoder, self.decoder):
             coder.set_cdf(z_cdf, z_len, 0)
             coder.set_cdf(y_cdf, y_len, 1)
+        self._z_bank = (z_cdf, z_len)
+        self._y_bank = (y_cdf, y_len)
+
+        # device entropy decode (rans/device_decode.py): the ladder's
+        # rANS runs INSIDE jit, so decode is a pure async dispatch chain
+        # with no blocking host round-trips.  Defaults on for accelerator
+        # backends (where each host hop costs a tunnel/network RTT); the
+        # host C++ coder stays the default on CPU.  Either path produces
+        # bit-identical symbols (tests/test_device_decode.py), so x_hat
+        # is identical.
+        if device_ec is None:
+            device_ec = jax.default_backend() != "cpu"
+        self.device_ec = bool(device_ec)
 
         self._programs = {}
+        self._dec_programs = {}
         self._fetcher = CodedFetcher()
         self.clear_dpb()
 
@@ -379,6 +394,38 @@ class VideoCodecBase:
         self._programs[key] = progs
         return progs
 
+    def _get_dec_programs(self, h, w, n_lanes, lane_len):
+        """Device-entropy-decode programs, keyed by geometry + lane
+        layout (lane_len is bucket-rounded so streams of similar size
+        share one executable)."""
+        key = (h, w, n_lanes, lane_len)
+        if key in self._dec_programs:
+            return self._dec_programs[key]
+        from ..rans.device_decode import init_state, make_decode_fn
+
+        p = self._get_programs(h, w)
+        _, _, _, _, zh, zw, n_cand = p["dims"]
+        ch_z = self.cfg.ch_z
+        n_z = zh * zw * ch_z
+        z_cdf, z_len = self._z_bank
+        y_cdf, y_len = self._y_bank
+        dec_z_core = make_decode_fn(z_cdf, z_len, n_lanes, n_z)
+        cap_y = (self.steps * n_cand) if self.single_pass else n_cand
+        dec_y_core = make_decode_fn(y_cdf, y_len, n_lanes, cap_y)
+        zidx = jnp.asarray(np.arange(n_z, dtype=np.int32) % ch_z)
+
+        @jax.jit
+        def dec_z(lanes, qp):
+            """Seed lane states from the stream bytes + decode z (CDF
+            row (i % ch_z) + qp*ch_z, matching rans.cc decode_z)."""
+            state = init_state(lanes)
+            state, out = dec_z_core(state, zidx + qp * ch_z, n_z)
+            return state, out.reshape(1, zh, zw, ch_z)
+
+        progs = {"z": dec_z, "y": jax.jit(dec_y_core)}
+        self._dec_programs[key] = progs
+        return progs
+
     # ------------------------------------------------------------ encode
 
     def compress(self, x, qp, reset_feature_memory=False, h=None, w=None,
@@ -583,6 +630,10 @@ class VideoCodecBase:
         qp_arr = jnp.int32(qp)
         reset = bool(reset_feature_memory)
 
+        if self.device_ec:
+            return self._decompress_core_device(
+                bit_stream, qp_arr, h, w, ec_part, reset, p)
+
         self.decoder.set_parallel(ec_part)
         self.decoder.set_stream(bit_stream)
         z_num = zh * zw * ch_z
@@ -650,6 +701,58 @@ class VideoCodecBase:
                     start_copies(count)
                     handle = self._fetcher.start(p["slice"], packed_idx,
                                                  ("dec", h, w, k + 1))
+                else:
+                    y_hat = out
+
+        feature, new_ref = p["final"][reset](y_hat, q_dec, ctx, qp_arr)
+        self.ref_feature = new_ref
+        self.memory = None if reset else mem
+        return feature, p, qp_arr
+
+    def _decompress_core_device(self, bit_stream, qp_arr, h, w, ec_part,
+                                reset, p):
+        """Device-entropy decode: the whole ladder (z decode, prior,
+        per-rung rANS + merge, final) is one async dispatch chain with
+        ZERO blocking host round-trips — the TPU-native replacement for
+        the reference's decode-side entropy/graph overlap
+        (dmci_proxy.cpp:423-602, dmc_htl_proxy.cpp:606-690), which only
+        needs to hide microsecond host hops.  Symbols are bit-identical
+        to the host coder (tests/test_device_decode.py), so every
+        downstream executable and x_hat match the host path exactly."""
+        from ..rans.device_decode import bucketed_lanes
+        _, _, yh, yw, zh, zw, n_cand = p["dims"]
+        ch_y = self.cfg.ch_y
+        lanes = bucketed_lanes(bit_stream, ec_part)
+        dp = self._get_dec_programs(h, w, ec_part, lanes.shape[1])
+
+        state, z_int8 = dp["z"](jnp.asarray(lanes), qp_arr)
+
+        has_memory = self.memory is not None
+        memory_arg = self.memory if has_memory else self.ref_feature
+        mem, ctx = p["adaptor"][has_memory](memory_arg, self.ref_feature)
+        y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+
+        if self.single_pass:
+            (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
+             cond_all) = p["prior"](z_int8, mem, qp_arr)
+            state, decoded = dp["y"](state, packed_idx, count)
+            y_qs = p["expand_all"](decoded, packed_pos)
+            for k in range(self.steps):
+                out = p["step"][k](y_qs[k], means, y_hat, spctx)
+                if k < self.steps - 1:
+                    y_hat, means = out
+                else:
+                    y_hat = out
+        else:
+            (q_enc, q_dec, means, spctx, packed_idx, packed_pos, count,
+             cond) = p["prior"](z_int8, mem, qp_arr)
+            for k in range(self.steps):
+                state, decoded = dp["y"](state, packed_idx, count)
+                y_q = p["expand"](decoded, packed_pos)
+                out = p["step"][k](y_q, means, y_hat, spctx)
+                if k < self.steps - 1:
+                    (y_hat, means, packed_idx, packed_pos, count,
+                     cond) = out
                 else:
                     y_hat = out
 

@@ -75,6 +75,10 @@ def main():
                          "RD range misses the anchor's")
     ap.add_argument("--force_intra", action="store_true",
                     help="image-only gate (every frame intra)")
+    ap.add_argument("--frames", type=int, default=65,
+                    help="gate sequence length; the VTM anchor averages "
+                         "over 600 frames (one intra), so short sequences "
+                         "structurally overweight the intra cost")
     args = ap.parse_args()
     trained = args.model_path_i != "random" or args.model_path_p != "random"
 
@@ -93,7 +97,7 @@ def main():
     qps = [str(int(round(q))) for q in np.linspace(0, qp_num - 1, 4)]
 
     with tempfile.TemporaryDirectory() as root:
-        cfg_path = make_sequence(root, h=256, w=384, n=17)
+        cfg_path = make_sequence(root, h=256, w=384, n=args.frames)
         result_json = os.path.join(root, "result.json")
         cmd = [sys.executable, "test_video.py",
                "--test_config", cfg_path,

@@ -51,6 +51,10 @@ def parse_args(argv):
     parser.add_argument("--data_repeat", type=int, default=1,
                         help="passes over the corpus per epoch (fresh "
                              "random crops each pass; for small corpora)")
+    parser.add_argument("--max_patch", type=int, default=-1,
+                        help="clamp the schedule's patch size (e.g. when "
+                             "the corpus images are smaller than the "
+                             "reference schedule's 512)")
     return parser.parse_args(argv)
 
 
@@ -124,6 +128,9 @@ def main(argv):
     for epoch in range(begin_epoch, args.epochs):
         idx = min(len(strategy) - 1, epoch)
         _, lr, patch_w, patch_h = strategy[idx]
+        if args.max_patch > 0:
+            patch_w = min(patch_w, args.max_patch)
+            patch_h = min(patch_h, args.max_patch)
         dataset.set_patch_size(patch_w, patch_h)
         # lr schedule: rebuild optimizer transform chain when lr changes
         tx = make_optimizer(lr, clip_norm=0.1)

@@ -86,6 +86,10 @@ def parse_args(argv):
                              "hold single-chunk rollouts: the cascaded "
                              "multi-chunk DPB feedback is unstable until "
                              "the single-chunk model is past random init)")
+    parser.add_argument("--max_patch", type=int, default=-1,
+                        help="clamp the schedule's patch size (e.g. when "
+                             "the corpus frames are smaller than the "
+                             "reference schedule's 512)")
     return parser.parse_args(argv)
 
 
@@ -216,6 +220,9 @@ def main(argv):
         _, lr, frame_num, cascaded, patch_w, patch_h = strategy[idx]
         if args.max_frame_num > 0:
             frame_num = min(frame_num, args.max_frame_num)
+        if args.max_patch > 0:
+            patch_w = min(patch_w, args.max_patch)
+            patch_h = min(patch_h, args.max_patch)
         n_chunks = (frame_num - 1) // gop
         dataset.set_frame_num(1 + n_chunks * gop)
         dataset.set_patch_size(patch_w, patch_h)
