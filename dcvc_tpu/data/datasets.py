@@ -86,7 +86,8 @@ class VideoFolder:
     (reference video_dataset.py:33-105)."""
 
     def __init__(self, root, patch_h, patch_w, qp_num, lambdas,
-                 frame_num=5, group_of_pictures=1, seed=0, raw_rgb=False):
+                 frame_num=5, group_of_pictures=1, seed=0, raw_rgb=False,
+                 cache=False):
         self.root = root
         with open(os.path.join(root, "description.json")) as f:
             desc = json.load(f)
@@ -100,6 +101,12 @@ class VideoFolder:
         self.gop = group_of_pictures
         self.rng = np.random.default_rng(seed)
         self.raw_rgb = raw_rgb
+        # in-memory decoded-frame cache: PNG decode dominates step time
+        # for long-rollout video training (frame_num x batch reads per
+        # step); the reference instead pays this in its DataLoader
+        # worker pool (video_dataset.py).  uint8 full frames, so a
+        # 48x65-frame 384px corpus is ~1.4 GB.
+        self._cache = {} if cache else None
 
     def __len__(self):
         return len(self.seqs)
@@ -141,11 +148,21 @@ class VideoFolder:
         x = int(self.rng.integers(0, w + pad_w - self.patch_w + 1))
 
         def load_frame(i):
-            img = _load_rgb(os.path.join(self.root, seq["path"],
-                                         self.frames[i]))
-            if flip:
-                img = img.transpose(0)
-            img = np.asarray(img, np.uint8)
+            if self._cache is not None:
+                key = (seq["path"], i)
+                img = self._cache.get(key)
+                if img is None:
+                    img = np.asarray(_load_rgb(os.path.join(
+                        self.root, seq["path"], self.frames[i])), np.uint8)
+                    self._cache[key] = img
+                if flip:
+                    img = img[:, ::-1]
+            else:
+                img = _load_rgb(os.path.join(self.root, seq["path"],
+                                             self.frames[i]))
+                if flip:
+                    img = img.transpose(0)
+                img = np.asarray(img, np.uint8)
             if pad_h or pad_w:
                 img = np.pad(img, ((pad_h // 2, pad_h - pad_h // 2),
                                    (pad_w // 2, pad_w - pad_w // 2), (0, 0)),

@@ -110,6 +110,11 @@ class DMCICodec:
             device_ec = jax.default_backend() != "cpu"
         self.device_ec = bool(device_ec)
 
+        # diagnostic symbol capture (cross-platform conformance,
+        # scripts/cross_platform_conformance.py): when set, compress and
+        # decompress append their exact coded symbol arrays here
+        self.collect_symbols = None
+
         self._programs = {}
         self._dec_programs = {}
         self._fetcher = CodedFetcher()
@@ -363,6 +368,12 @@ class DMCICodec:
         total = sum(counts_np)
         ec_parallel = self.force_ec or min(rans.compute_ec_parallel(total),
                                            self.MAX_EC)
+        if self.collect_symbols is not None:
+            self.collect_symbols.append(
+                {"z": z_np.reshape(-1).copy(),
+                 "y": [(np.asarray(c) >> 8).astype(np.int8) for c in coded],
+                 "idx": [(np.asarray(c) & 0xFF).astype(np.uint8)
+                         for c in coded]})
         self.encoder.reset()
         self.encoder.set_parallel(ec_parallel)
         for k in range(3, -1, -1):  # reverse step order (dmci_proxy.cpp:838)
@@ -467,8 +478,14 @@ class DMCICodec:
         state, z_int8 = dp["z"](jnp.asarray(lanes), qp_arr)
         means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+        collect = ({"z": np.asarray(z_int8).reshape(-1), "y": [], "idx": []}
+                   if self.collect_symbols is not None else None)
         for k in range(4):
             state, decoded = dp["y"](state, packed_idx, count)
+            if collect is not None:
+                c = int(count)
+                collect["y"].append(np.asarray(decoded)[:c].copy())
+                collect["idx"].append(np.asarray(packed_idx)[:c].copy())
             y_q = p["expand"](decoded, packed_pos)
             step_out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
@@ -477,6 +494,8 @@ class DMCICodec:
                 y_hat = step_out
             yield  # everything above is async; let other frames dispatch
 
+        if collect is not None:
+            self.collect_symbols.append(collect)
         out["x_hat"] = p["synthesis"](y_hat, qp_arr)
 
     def _decompress_gen(self, decoder, bit_stream, qp, h, w, ec_part, out):
@@ -502,6 +521,8 @@ class DMCICodec:
 
         means, ctx, packed_idx, packed_pos, count, cond = p["prior0"](z_int8)
         y_hat = jnp.zeros((1, yh, yw, ch_y), jnp.float32)
+        collect = ({"z": np.asarray(z_int8).reshape(-1), "y": [], "idx": []}
+                   if self.collect_symbols is not None else None)
 
         start_copies(count)
         handle = self._fetcher.start(p["slice"], packed_idx,
@@ -517,7 +538,11 @@ class DMCICodec:
                 pad = np.zeros(_round_bucket(c, n_cand), np.int8)
                 pad[:c] = decoded
             else:
+                decoded = np.zeros(0, np.int8)
                 pad = np.zeros(min(BUCKET, n_cand), np.int8)
+            if collect is not None:
+                collect["y"].append(decoded[:c].copy())
+                collect["idx"].append(idx_np[:c].copy())
             y_q = p["expand"](jnp.asarray(pad), packed_pos)
             step_out = p["step"][k](y_q, means, y_hat, ctx)
             if k < 3:
@@ -530,4 +555,6 @@ class DMCICodec:
             else:
                 y_hat = step_out
 
+        if collect is not None:
+            self.collect_symbols.append(collect)
         out["x_hat"] = p["synthesis"](y_hat, qp_arr)

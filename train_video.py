@@ -197,7 +197,7 @@ def main(argv):
     # train_image.py note; the win is 4x larger here - gop frames/sample)
     dataset = VideoFolder(args.train_dataset, ph, pw, p_cfg.qp_num, lambdas,
                           frame_num=frame_num0, group_of_pictures=gop,
-                          raw_rgb=True)
+                          raw_rgb=True, cache=True)
 
     tx = make_optimizer(lr0, clip_norm=0.2)
     state = create_train_state(p_params, tx)
