@@ -60,6 +60,7 @@ class ImageFolder:
         self.lambdas = np.asarray(lambdas, np.float32)
         self.rng = np.random.default_rng(seed)
         self.raw_rgb = raw_rgb
+        self._rng_lock = threading.Lock()
 
     def __len__(self):
         return len(self.items)
@@ -68,14 +69,28 @@ class ImageFolder:
         self.patch_w, self.patch_h = patch_w, patch_h
 
     def __getitem__(self, index):
+        with self._rng_lock:
+            flip = self.rng.random() < 0.5
+            fy = self.rng.integers(0, 1 << 30)
+            fx = self.rng.integers(0, 1 << 30)
+            qp = int(self.rng.integers(0, self.qp_num))
         img = _load_rgb(os.path.join(self.root, self.items[index]))
-        if self.rng.random() < 0.5:
+        if flip:
             img = img.transpose(0)  # PIL FLIP_LEFT_RIGHT
         img = np.asarray(img, np.uint8)
-        img = _crop_pad_to_patch(img, self.patch_h, self.patch_w, self.rng)
-        x = img if self.raw_rgb else _to_ycbcr_centered(img)
-        qp = int(self.rng.integers(0, self.qp_num))
-        return {"x": x, "qp": np.int32(qp),
+        h, w = img.shape[:2]
+        pad_h = max(0, self.patch_h - h)
+        pad_w = max(0, self.patch_w - w)
+        if pad_h or pad_w:
+            img = np.pad(img, ((pad_h // 2, pad_h - pad_h // 2),
+                               (pad_w // 2, pad_w - pad_w // 2), (0, 0)),
+                         mode="constant")
+        y = int(fy % (img.shape[0] - self.patch_h + 1))
+        x = int(fx % (img.shape[1] - self.patch_w + 1))
+        img = img[y:y + self.patch_h, x:x + self.patch_w]
+        x_out = img if self.raw_rgb else _to_ycbcr_centered(img)
+        qp = int(qp)
+        return {"x": x_out, "qp": np.int32(qp),
                 "lambda": np.float32(self.lambdas[qp])}
 
 
@@ -107,6 +122,7 @@ class VideoFolder:
         # worker pool (video_dataset.py).  uint8 full frames, so a
         # 48x65-frame 384px corpus is ~1.4 GB.
         self._cache = {} if cache else None
+        self._rng_lock = threading.Lock()
 
     def __len__(self):
         return len(self.seqs)
@@ -139,13 +155,16 @@ class VideoFolder:
 
     def __getitem__(self, index):
         seq = self.seqs[index]
-        idxs = self._frame_indexes(seq["seq_length"])
-        flip = self.rng.random() < 0.5
-
         h, w = seq["height"], seq["width"]
         pad_h, pad_w = max(0, self.patch_h - h), max(0, self.patch_w - w)
-        y = int(self.rng.integers(0, h + pad_h - self.patch_h + 1))
-        x = int(self.rng.integers(0, w + pad_w - self.patch_w + 1))
+        # all randomness drawn up front under a lock so BatchLoader's
+        # worker threads can load/crop in parallel safely
+        with self._rng_lock:
+            idxs = self._frame_indexes(seq["seq_length"])
+            flip = self.rng.random() < 0.5
+            y = int(self.rng.integers(0, h + pad_h - self.patch_h + 1))
+            x = int(self.rng.integers(0, w + pad_w - self.patch_w + 1))
+            qp = int(self.rng.integers(0, self.qp_num))
 
         def load_frame(i):
             if self._cache is not None:
@@ -181,7 +200,6 @@ class VideoFolder:
                 data.append(np.concatenate(group, axis=-1))
                 group = []
 
-        qp = int(self.rng.integers(0, self.qp_num))
         return {"frames": data, "qp": np.int32(qp),
                 "lambda": np.float32(self.lambdas[qp])}
 
@@ -191,7 +209,7 @@ class BatchLoader:
     numpy batches with prefetch (pin_memory/prefetch_factor equivalent)."""
 
     def __init__(self, dataset, batch_size, shuffle=True, prefetch=2, seed=0,
-                 drop_last=True, repeats=1):
+                 drop_last=True, repeats=1, workers=4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -201,6 +219,9 @@ class BatchLoader:
         self.repeats = repeats   # passes over the data per epoch (each
         # pass re-crops/re-flips, so small corpora still yield fresh
         # samples; keeps the lr schedule's epoch granularity meaningful)
+        self.workers = max(1, int(workers))  # sample-loading thread pool
+        # (the reference DataLoader num_workers role; PIL/numpy release
+        # the GIL so threads scale for decode+crop work)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -217,15 +238,38 @@ class BatchLoader:
         sentinel = object()
 
         def producer():
+            try:
+                _produce()
+            except Exception:  # consumer gone (early break/shutdown)
+                pass
+            q.put(sentinel)
+
+        def _produce():
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
             batch = []
-            for i in order:
-                batch.append(self.dataset[int(i)])
-                if len(batch) == self.batch_size:
-                    q.put(self._collate(batch))
-                    batch = []
+            with ThreadPoolExecutor(self.workers) as ex:
+                # windowed submission: keep ~2 batches of samples in
+                # flight (ex.map would eagerly schedule the whole epoch
+                # and hold every decoded sample in memory)
+                idx_iter = iter(order)
+                futs = deque()
+
+                def submit():
+                    for i in idx_iter:
+                        futs.append(ex.submit(self.dataset.__getitem__,
+                                              int(i)))
+                        return
+                for _ in range(max(self.workers, self.batch_size) * 2):
+                    submit()
+                while futs:
+                    batch.append(futs.popleft().result())
+                    submit()
+                    if len(batch) == self.batch_size:
+                        q.put(self._collate(batch))
+                        batch = []
             if batch and not self.drop_last:
                 q.put(self._collate(batch))
-            q.put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

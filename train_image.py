@@ -139,7 +139,8 @@ def main(argv):
                              out_shardings=(repl, repl))
 
         loader = BatchLoader(dataset, args.batch_size, seed=epoch,
-                             repeats=args.data_repeat)
+                             repeats=args.data_repeat,
+                             workers=args.num_workers)
         t0 = time.time()
         for i, batch in enumerate(loader):
             if 0 <= args.max_steps_per_epoch <= i:
