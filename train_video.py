@@ -90,6 +90,13 @@ def parse_args(argv):
                         help="clamp the schedule's patch size (e.g. when "
                              "the corpus frames are smaller than the "
                              "reference schedule's 512)")
+    parser.add_argument("--device_data", action="store_true",
+                        help="upload the whole corpus to device HBM once "
+                             "(uint8) and gather crop/flip windows "
+                             "on-device: per-step host->device traffic "
+                             "drops to a few index scalars — decisive on "
+                             "tunneled/low-bandwidth links where a "
+                             "long-rollout uint8 batch is tens of MB")
     return parser.parse_args(argv)
 
 
@@ -197,7 +204,55 @@ def main(argv):
     # train_image.py note; the win is 4x larger here - gop frames/sample)
     dataset = VideoFolder(args.train_dataset, ph, pw, p_cfg.qp_num, lambdas,
                           frame_num=frame_num0, group_of_pictures=gop,
-                          raw_rgb=True, cache=True)
+                          raw_rgb=True, cache=not args.device_data)
+
+    # ---- device-resident corpus (see --device_data help)
+    corpus_dev, gather_cache = None, {}
+    if args.device_data:
+        from PIL import Image
+        seqs, frame_names = dataset.seqs, dataset.frames
+        S = len(seqs)
+        F = min(s["seq_length"] for s in seqs)
+        Hc = min(s["height"] for s in seqs)
+        Wc = min(s["width"] for s in seqs)
+        corpus = np.zeros((S, F, Hc, Wc, 3), np.uint8)
+        for si, s in enumerate(seqs):
+            for fi in range(F):
+                img = np.asarray(Image.open(os.path.join(
+                    args.train_dataset, s["path"],
+                    frame_names[fi])).convert("RGB"), np.uint8)
+                corpus[si, fi] = img[:Hc, :Wc]
+        print(f"device corpus: {corpus.nbytes / 1e9:.2f} GB "
+              f"({S}x{F}x{Hc}x{Wc}), uploading once...")
+        corpus_dev = jax.device_put(jnp.asarray(corpus), repl)
+        del corpus
+
+        def make_gather(n_frames, gph, gpw):
+            n_ch = (n_frames - 1) // gop
+
+            def one(sid, st, y, x, fl):
+                win = jax.lax.dynamic_slice(
+                    corpus_dev, (sid, st, y, x, 0),
+                    (1, n_frames, gph, gpw, 3))[0]
+                return jnp.where(fl, win[:, :, ::-1, :], win)
+
+            @jax.jit
+            def fn(sids, sts, ys, xs, fls):
+                wins = jax.vmap(one)(sids, sts, ys, xs, fls)
+                intra = wins[:, 0]
+                rest = wins[:, 1:].reshape(-1, n_ch, gop, gph, gpw, 3)
+                # channel order frame*3+c, matching np.concatenate of
+                # gop frames on the channel axis (datasets.py)
+                chunks = jnp.moveaxis(rest, 2, 4).reshape(
+                    -1, n_ch, gph, gpw, gop * 3)
+                return intra, chunks
+            return fn
+
+        def gather_for(n_frames, gph, gpw):
+            k = (n_frames, gph, gpw)
+            if k not in gather_cache:
+                gather_cache[k] = make_gather(n_frames, gph, gpw)
+            return gather_cache[k]
 
     tx = make_optimizer(lr0, clip_norm=0.2)
     state = create_train_state(p_params, tx)
@@ -238,10 +293,50 @@ def main(argv):
                 out_shardings=(repl, repl))
         train_step = compiled[key]
 
+        t0 = time.time()
+        if args.device_data:
+            n_frames = 1 + n_chunks * gop
+            assert n_frames <= F, (
+                f"frame_num {n_frames} exceeds corpus seq length {F}; "
+                f"clamp with --max_frame_num {F}")
+            gather = gather_for(n_frames, patch_h, patch_w)
+            steps = (len(dataset) // args.batch_size) * args.data_repeat
+            if args.max_steps_per_epoch >= 0:
+                steps = min(steps, args.max_steps_per_epoch)
+            srng = np.random.default_rng(1000 + epoch)
+            B = args.batch_size
+            for i in range(steps):
+                step_rng, s1, s2 = jax.random.split(step_rng, 3)
+                sids = srng.integers(0, S, B)
+                sts = srng.integers(0, F - n_frames + 1, B)
+                ys = srng.integers(0, Hc - patch_h + 1, B)
+                xs = srng.integers(0, Wc - patch_w + 1, B)
+                fls = srng.random(B) < 0.5
+                qp_np = srng.integers(0, p_cfg.qp_num, B)
+                intra, chunks = gather(
+                    jnp.asarray(sids, jnp.int32), jnp.asarray(sts, jnp.int32),
+                    jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
+                    jnp.asarray(fls))
+                qp = jnp.asarray(qp_np, jnp.int32)
+                seed = intra_recon(intra, qp, s1)
+                seed = jax.device_put(seed, data_sh)
+                chunks = jax.device_put(chunks, data_sh)
+                qp = jax.device_put(qp, data_sh)
+                state, metrics = train_step(state, seed, chunks, qp, s2)
+                if i % 50 == 0:
+                    m = jax.device_get(metrics)
+                    print(f"Time: {time.time()-t0:.1f}s, epoch {epoch} "
+                          f"step {i}: loss {m['loss']:.4f} "
+                          f"mse {m['mse']:.5f} bpp {m['bpp']:.4f} "
+                          f"gnorm {m['grad_norm']:.3f} lr {lr:.1e}",
+                          flush=True)
+                    t0 = time.time()
+            save_status(args.save_dir, jax.device_get(state.params),
+                        state.opt_state, epoch, p_cfg)
+            continue
         loader = BatchLoader(dataset, args.batch_size, seed=epoch,
                              repeats=args.data_repeat,
                              workers=args.num_workers)
-        t0 = time.time()
         for i, batch in enumerate(loader):
             if 0 <= args.max_steps_per_epoch <= i:
                 break
