@@ -223,22 +223,45 @@ def main(argv):
                     frame_names[fi])).convert("RGB"), np.uint8)
                 corpus[si, fi] = img[:Hc, :Wc]
         print(f"device corpus: {corpus.nbytes / 1e9:.2f} GB "
-              f"({S}x{F}x{Hc}x{Wc}), uploading once...")
-        corpus_dev = jax.device_put(jnp.asarray(corpus), repl)
+              f"({S}x{F}x{Hc}x{Wc}), uploading once...", flush=True)
+        # per-sequence uploads with a sync each: tunneled links sustain
+        # ~20 MB/s on step-sized transfers but collapse when a single
+        # GB-scale buffer floods the relay's queue
+        t_up = time.time()
+        parts = []
+        for si in range(S):
+            part = jax.device_put(jnp.asarray(corpus[si]), repl)
+            part.block_until_ready()
+            parts.append(part)
+            if (si + 1) % 8 == 0:
+                print(f"  uploaded {si + 1}/{S} seqs "
+                      f"({time.time() - t_up:.0f}s)", flush=True)
+        corpus_dev = jax.jit(lambda *xs: jnp.stack(xs),
+                             out_shardings=repl)(*parts)
+        corpus_dev.block_until_ready()
+        del parts
+        print(f"device corpus resident ({time.time() - t_up:.0f}s)",
+              flush=True)
         del corpus
 
         def make_gather(n_frames, gph, gpw):
             n_ch = (n_frames - 1) // gop
 
-            def one(sid, st, y, x, fl):
+            # corpus is a jit ARGUMENT, not a closure: a closed-over
+            # device array would be baked into the HLO as a GB-scale
+            # literal and shipped with every compile request
+            def one(corpus, sid, st, y, x, fl):
                 win = jax.lax.dynamic_slice(
-                    corpus_dev, (sid, st, y, x, 0),
+                    corpus, (sid, st, y, x, 0),
                     (1, n_frames, gph, gpw, 3))[0]
                 return jnp.where(fl, win[:, :, ::-1, :], win)
 
             @jax.jit
-            def fn(sids, sts, ys, xs, fls):
-                wins = jax.vmap(one)(sids, sts, ys, xs, fls)
+            def fn(corpus, sids, sts, ys, xs, fls):
+                wins = jax.vmap(
+                    lambda s_, t_, y_, x_, f_: one(corpus, s_, t_, y_,
+                                                   x_, f_))(
+                    sids, sts, ys, xs, fls)
                 intra = wins[:, 0]
                 rest = wins[:, 1:].reshape(-1, n_ch, gop, gph, gpw, 3)
                 # channel order frame*3+c, matching np.concatenate of
@@ -314,6 +337,7 @@ def main(argv):
                 fls = srng.random(B) < 0.5
                 qp_np = srng.integers(0, p_cfg.qp_num, B)
                 intra, chunks = gather(
+                    corpus_dev,
                     jnp.asarray(sids, jnp.int32), jnp.asarray(sts, jnp.int32),
                     jnp.asarray(ys, jnp.int32), jnp.asarray(xs, jnp.int32),
                     jnp.asarray(fls))
