@@ -12,7 +12,8 @@ import pytest
 pytestmark = pytest.mark.slow
 
 from dcvc_tpu.models.dmc_ht import DMCHT, TINY_HT_CONFIG, TINY_HTL_CONFIG
-from dcvc_tpu.runtime.video_codec import DMCHTCodec
+from dcvc_tpu.models.dmc_ld import TINY_LD_CONFIG
+from dcvc_tpu.runtime.video_codec import DMCHTCodec, DMCLDCodec
 
 
 def _frames(h, w, n, seed=0):
@@ -62,6 +63,29 @@ def test_device_ec_matches_host_decode(cfg, seed):
     for u in range(2):
         np.testing.assert_array_equal(host[u], enc_recons[u])
         np.testing.assert_array_equal(dev[u], enc_recons[u])
+
+
+def test_device_ec_ld_codec():
+    """LD (2-step checkerboard, frame_delay 1) through the device-EC
+    path: single-pass branch with a different mask geometry."""
+    codec = DMCLDCodec.init_random(jax.random.PRNGKey(4),
+                                   cfg=TINY_LD_CONFIG, dtype=jnp.float32)
+    codec.device_ec = True
+    h = w = 64
+    frames = _frames(h, w, 3, seed=4)
+    codec.clear_dpb()
+    codec.add_ref_feature_from_frame(frames[0])
+    streams, enc_recons = [], []
+    for u in range(2):
+        res = codec.compress(frames[u + 1], 2, recon=True)
+        streams.append((res["bit_stream"], res["ec_parallel"]))
+        enc_recons.append(np.asarray(res["x_hat"]))
+    codec.clear_dpb()
+    codec.add_ref_feature_from_frame(frames[0])
+    for u, (s, ec) in enumerate(streams):
+        out = codec.decompress(s, 2, h, w, ec)
+        np.testing.assert_array_equal(np.asarray(out["x_hat"]),
+                                      enc_recons[u])
 
 
 def test_device_ec_image_codec_matches_host():
