@@ -103,12 +103,12 @@ class DMCICodec:
 
         # device entropy decode (rans/device_decode.py): the 4-rung
         # ladder's rANS runs INSIDE jit, making decode a pure async
-        # dispatch chain (no blocking host round-trips).  Auto-on for
-        # accelerator backends; symbols are bit-identical to the host
-        # coder so x_hat is unchanged (tests/test_device_ec_codec.py).
-        if device_ec is None:
-            device_ec = jax.default_backend() != "cpu"
-        self.device_ec = bool(device_ec)
+        # dispatch chain (no blocking host round-trips); symbols are
+        # bit-identical to the host coder so x_hat is unchanged
+        # (tests/test_device_ec_codec.py).  OFF by default until the
+        # Pallas kernel lands — see video_codec.py for the measured
+        # XLA-loop cost.
+        self.device_ec = bool(device_ec) if device_ec is not None else False
 
         # diagnostic symbol capture (cross-platform conformance,
         # scripts/cross_platform_conformance.py): when set, compress and

@@ -87,14 +87,14 @@ class VideoCodecBase:
 
         # device entropy decode (rans/device_decode.py): the ladder's
         # rANS runs INSIDE jit, so decode is a pure async dispatch chain
-        # with no blocking host round-trips.  Defaults on for accelerator
-        # backends (where each host hop costs a tunnel/network RTT); the
-        # host C++ coder stays the default on CPU.  Either path produces
+        # with no blocking host round-trips.  Either path produces
         # bit-identical symbols (tests/test_device_decode.py), so x_hat
-        # is identical.
-        if device_ec is None:
-            device_ec = jax.default_backend() != "cpu"
-        self.device_ec = bool(device_ec)
+        # is identical.  OFF by default: the pure-XLA symbol loop
+        # measures ~26 us/iteration on TPU (gather-latency bound), which
+        # loses to the host coder even across a ~30 ms-RTT tunnel; it
+        # becomes the default once the Pallas kernel replaces the XLA
+        # while_loop.
+        self.device_ec = bool(device_ec) if device_ec is not None else False
 
         self._programs = {}
         self._dec_programs = {}

@@ -131,7 +131,11 @@ def main():
             rd = json.load(f)
 
     points = {rp: {"bpp": v["ave_all_frame_bpp"],
-                   "psnr": v["ave_all_frame_psnr"]}
+                   "psnr": v["ave_all_frame_psnr"],
+                   "i_bpp": v.get("ave_i_frame_bpp"),
+                   "p_bpp": v.get("ave_p_frame_bpp"),
+                   "i_psnr": v.get("ave_i_frame_psnr"),
+                   "p_psnr": v.get("ave_p_frame_psnr")}
               for rp, v in rd["UVG"][SEQ].items()}
     # RD sanity: higher rate must buy higher quality on trained models
     # (the reference's implicit contract); direction-agnostic check
