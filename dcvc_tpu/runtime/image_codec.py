@@ -440,15 +440,15 @@ class DMCICodec:
         key = (h, w, n_lanes, lane_len)
         if key in self._dec_programs:
             return self._dec_programs[key]
-        from ..rans.device_decode import init_state, make_decode_fn
+        from ..rans.device_decode import init_state, make_decode_fn_auto
 
         p = self._get_programs(h, w)
         _, _, _, _, zh, zw, n_cand = p["dims"]
         ch_z = self.cfg.ch_z
         n_z = zh * zw * ch_z
         (z_cdf, z_len), (y_cdf, y_len) = self._cdf_banks
-        dec_z_core = make_decode_fn(z_cdf, z_len, n_lanes, n_z)
-        dec_y_core = make_decode_fn(y_cdf, y_len, n_lanes, n_cand)
+        dec_z_core = make_decode_fn_auto(z_cdf, z_len, n_lanes, n_z)
+        dec_y_core = make_decode_fn_auto(y_cdf, y_len, n_lanes, n_cand)
         zidx = jnp.asarray(np.arange(n_z, dtype=np.int32) % ch_z)
 
         @jax.jit

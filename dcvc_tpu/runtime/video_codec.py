@@ -401,7 +401,7 @@ class VideoCodecBase:
         key = (h, w, n_lanes, lane_len)
         if key in self._dec_programs:
             return self._dec_programs[key]
-        from ..rans.device_decode import init_state, make_decode_fn
+        from ..rans.device_decode import init_state, make_decode_fn_auto
 
         p = self._get_programs(h, w)
         _, _, _, _, zh, zw, n_cand = p["dims"]
@@ -409,9 +409,9 @@ class VideoCodecBase:
         n_z = zh * zw * ch_z
         z_cdf, z_len = self._z_bank
         y_cdf, y_len = self._y_bank
-        dec_z_core = make_decode_fn(z_cdf, z_len, n_lanes, n_z)
+        dec_z_core = make_decode_fn_auto(z_cdf, z_len, n_lanes, n_z)
         cap_y = (self.steps * n_cand) if self.single_pass else n_cand
-        dec_y_core = make_decode_fn(y_cdf, y_len, n_lanes, cap_y)
+        dec_y_core = make_decode_fn_auto(y_cdf, y_len, n_lanes, cap_y)
         zidx = jnp.asarray(np.arange(n_z, dtype=np.int32) % ch_z)
 
         @jax.jit
