@@ -154,17 +154,20 @@ def _decode_kernel(n_lanes, n_chunks_max, per, chunk,
             st3, ptr3 = args
             val, st3, ptr3 = get_bits(st3, ptr3, esc)
             n_byp = jnp.where(esc, val, 0)
-            more0 = esc & (val == K_MAX_BYPASS)
+            # mask carried as int32: Mosaic cannot yield i1 vectors
+            # across loop boundaries ("failed to legalize scf.yield")
+            more0 = (esc & (val == K_MAX_BYPASS)).astype(jnp.int32)
 
             def more_count(c2):
                 v2, st4, ptr4, nb, more = c2
-                v2, st4, ptr4 = get_bits(st4, ptr4, more)
-                nb = nb + jnp.where(more, v2, 0)
-                more = more & (v2 == K_MAX_BYPASS)
+                m = more != 0
+                v2, st4, ptr4 = get_bits(st4, ptr4, m)
+                nb = nb + jnp.where(m, v2, 0)
+                more = more * (v2 == K_MAX_BYPASS).astype(jnp.int32)
                 return v2, st4, ptr4, nb, more
 
             _, st3, ptr3, n_byp, _ = lax.while_loop(
-                lambda c2: jnp.any(c2[4]), more_count,
+                lambda c2: jnp.any(c2[4] != 0), more_count,
                 (val, st3, ptr3, n_byp, more0))
 
             def chunks_body(c3):

@@ -114,9 +114,10 @@ def device_decode_ms_video(codec, jnp, h, w, qp=None, iters=3):
     return (time.perf_counter() - t0) * 1000 / iters
 
 
-def bench_dmci(jax, jnp, h, w, res="1080p", model_path=None):
+def bench_dmci(jax, jnp, h, w, res="1080p", model_path=None,
+               device_ec=False):
     from dcvc_tpu.runtime.image_codec import DMCICodec
-    tag = ""
+    tag = "_devec" if device_ec else ""
     if model_path:
         # trained checkpoint: the operating point (skip rate, bpp) is the
         # model's real one — no simulation (addresses the random-weight
@@ -127,11 +128,12 @@ def bench_dmci(jax, jnp, h, w, res="1080p", model_path=None):
         params, hdr = load_params(model_path)
         cfg = DMCIConfig(**hdr["config"]) if "config" in hdr else None
         codec = DMCICodec(params, cfg=cfg, dtype=jnp.bfloat16,
-                          skip_thres=0.15)
-        tag = "_trained"
+                          skip_thres=0.15, device_ec=device_ec)
+        tag = "_trained" + tag
     else:
         codec = DMCICodec.init_random(jax.random.PRNGKey(0),
-                                      dtype=jnp.bfloat16, skip_thres=0.15)
+                                      dtype=jnp.bfloat16, skip_thres=0.15,
+                                      device_ec=device_ec)
         # random weights at default init produce ~50%-coded 11-bit/sym
         # noise (bpp 5.5 — 20x any trained operating point) and the bench
         # becomes a pure D2H test; 0.65x kernel scaling lands at ~15%
@@ -189,10 +191,11 @@ def bench_dmci(jax, jnp, h, w, res="1080p", model_path=None):
                       "bpp": round(bpp, 4)}))
 
 
-def bench_ht(jax, jnp, h, w, variant, res="1080p", model_path=None):
+def bench_ht(jax, jnp, h, w, variant, res="1080p", model_path=None,
+             device_ec=False):
     from dcvc_tpu.models.dmc_ht import HTL_CONFIG, HTS_CONFIG
     from dcvc_tpu.runtime.video_codec import DMCHTCodec
-    tag = ""
+    tag = "_devec" if device_ec else ""
     if model_path:
         # trained checkpoint at its own (header) config — real operating
         # point, labeled _trained (see bench_dmci note)
@@ -203,13 +206,13 @@ def bench_ht(jax, jnp, h, w, variant, res="1080p", model_path=None):
                else (HTL_CONFIG if variant == "htl" else HTS_CONFIG))
         from dcvc_tpu.models.dmc_ht import DMCHT
         codec = DMCHTCodec(DMCHT(cfg=cfg, dtype=jnp.bfloat16), params,
-                           skip_thres=0.15)
-        tag = "_trained"
+                           skip_thres=0.15, device_ec=device_ec)
+        tag = "_trained" + tag
     else:
         cfg = HTL_CONFIG if variant == "htl" else HTS_CONFIG
         codec = DMCHTCodec.init_random(jax.random.PRNGKey(0), cfg=cfg,
                                        dtype=jnp.bfloat16, skip_thres=0.15,
-                                       init_scale=0.5)
+                                       init_scale=0.5, device_ec=device_ec)
     rng = np.random.default_rng(0)
     n_chunks, fd = 6, 8
     frames = make_frames(h, w, n_chunks * fd, rng)
@@ -305,14 +308,20 @@ def main():
         i = args.index("--model_path_p")
         model_path_p = args[i + 1]
         del args[i:i + 2]
+    device_ec = "--device_ec" in args   # Pallas on-device entropy decode
+    if device_ec:
+        args.remove("--device_ec")
     which = args or ["dmci", "htl", "hts"]
     h, w = RESOLUTIONS[res]
     if "dmci" in which:
-        bench_dmci(jax, jnp, h, w, res, model_path=model_path)
+        bench_dmci(jax, jnp, h, w, res, model_path=model_path,
+                   device_ec=device_ec)
     if "htl" in which:
-        bench_ht(jax, jnp, h, w, "htl", res, model_path=model_path_p)
+        bench_ht(jax, jnp, h, w, "htl", res, model_path=model_path_p,
+                 device_ec=device_ec)
     if "hts" in which:
-        bench_ht(jax, jnp, h, w, "hts", res, model_path=model_path_p)
+        bench_ht(jax, jnp, h, w, "hts", res, model_path=model_path_p,
+                 device_ec=device_ec)
 
 
 if __name__ == "__main__":

@@ -8,7 +8,7 @@ set -u
 cd /root/repo
 LOG=${1:-/tmp/bench_env.log}
 : > "$LOG"
-for RES in 1080p 720p 480p 240p 2160p; do
+for RES in 1080p 2160p 720p 480p 240p; do
   echo "=== RES $RES ===" >> "$LOG"
   for V in dmci htl hts; do
     timeout 2400 python scripts/bench_variants.py "$V" --res "$RES" >> "$LOG" 2>&1
